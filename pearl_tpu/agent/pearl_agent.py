@@ -1,0 +1,241 @@
+"""PearlAgent: the composition of policy learner + safety module + history
+summarization + replay buffer (reference: pearl/pearl_agent.py:43-332).
+
+Differences from the reference, by design (SURVEY.md §7):
+- All agent functions are pure and batched over `num_envs` on-device env
+  instances; `AgentState` is one pytree carrying every module's state.
+- `observe` pushes *history summaries* (stored windows), exactly like the
+  reference (pearl_agent.py:185-206) — the replay buffer never sees raw
+  observations when a history module is configured.
+- Dynamic action spaces are a fixed candidate set + availability mask updated
+  from each step's `ActionResult` (replacing the reference's per-step action
+  space swap, pearl_agent.py:208-212).
+- `learn` clears the buffer for on-policy learners (pearl_agent.py:219-220).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from pearl_tpu.api.types import ActionResult, PRNGKey
+from pearl_tpu.policy_learners.policy_learner import ActionChoice, PolicyLearner
+from pearl_tpu.replay_buffers.replay_buffer import BasicReplayBuffer
+from pearl_tpu.replay_buffers.transition import TransitionBatch
+from pearl_tpu.safety_modules import IdentitySafetyModule, SafetyModule
+from pearl_tpu.utils.pytree import tree_select
+
+
+@struct.dataclass
+class AgentState:
+    learner: Any
+    safety: Any
+    replay: Any
+    history_carry: Any
+    available_mask: Optional[jnp.ndarray]  # (B, A) current availability
+    last_action: ActionChoice
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class PearlAgent:
+    policy_learner: PolicyLearner
+    replay_buffer: BasicReplayBuffer = dataclasses.field(
+        default_factory=lambda: BasicReplayBuffer(capacity=10_000)
+    )
+    safety_module: SafetyModule = dataclasses.field(default_factory=IdentitySafetyModule)
+    track_available_masks: bool = False  # store (B, A) masks in replay
+    store_cost: bool = False
+
+    # ------------------------------------------------------------------ setup
+    def for_env(self, env) -> "PearlAgent":
+        """Bind the learner to the env's action space (must be called before
+        init/act/learn)."""
+        return dataclasses.replace(
+            self, policy_learner=self.policy_learner.bind(env.action_space)
+        )
+
+    @property
+    def _summ(self):
+        return self.policy_learner.history_summarizer
+
+    def _rep_dims(self, observation_dim: int):
+        learner = self.policy_learner
+        space = learner.action_space
+        num_actions = getattr(space, "n", 0)
+        rep = learner.resolved_action_representation(space)
+        rep_dim = rep.representation_dim(space.action_dim, num_actions)
+        return rep, rep_dim, num_actions
+
+    def init(
+        self, key: PRNGKey, observation_dim: int, num_envs: int, initial_obs: jnp.ndarray
+    ) -> AgentState:
+        learner = self.policy_learner
+        space = learner.action_space
+        rep, rep_dim, num_actions = self._rep_dims(observation_dim)
+        k_l, k_s = jax.random.split(key)
+        learner_state = learner.init(k_l, observation_dim, space, num_envs)
+        safety_state = self.safety_module.init(k_s, observation_dim, space, num_envs)
+
+        carry = self._summ.init_carry(num_envs, observation_dim, rep_dim)
+        carry = self._summ.observe(carry, initial_obs, None)
+
+        stored_dim = self._summ.stored_dim(observation_dim, rep_dim)
+        action_dim = space.action_dim
+        example = TransitionBatch(
+            state=jnp.zeros((1, stored_dim)),
+            action=jnp.zeros((1, action_dim)),
+            reward=jnp.zeros((1,)),
+            next_state=jnp.zeros((1, stored_dim)),
+            terminated=jnp.zeros((1,), jnp.bool_),
+            truncated=jnp.zeros((1,), jnp.bool_),
+            action_index=jnp.zeros((1,), jnp.int32),
+            curr_available_mask=(
+                jnp.zeros((1, num_actions), jnp.bool_)
+                if self.track_available_masks and num_actions
+                else None
+            ),
+            next_available_mask=(
+                jnp.zeros((1, num_actions), jnp.bool_)
+                if self.track_available_masks and num_actions
+                else None
+            ),
+            cost=jnp.zeros((1,)) if self.store_cost else None,
+            **self._extra_example_fields(num_envs, space),
+        )
+        replay_state = self.replay_buffer.init(example)
+
+        mask = (
+            jnp.ones((num_envs, num_actions), jnp.bool_) if num_actions else None
+        )
+        last = ActionChoice(
+            action=jnp.zeros((num_envs, action_dim)),
+            index=jnp.zeros((num_envs,), jnp.int32),
+        )
+        return AgentState(
+            learner=learner_state,
+            safety=safety_state,
+            replay=replay_state,
+            history_carry=carry,
+            available_mask=mask,
+            last_action=last,
+        )
+
+    def _extra_example_fields(self, num_envs, space):
+        """Buffer-specific extra transition fields (bootstrap masks, SARSA
+        next-action, ...) — resolved from the replay buffer config."""
+        extra = {}
+        if hasattr(self.replay_buffer, "extra_example_fields"):
+            extra = self.replay_buffer.extra_example_fields(space)
+        return extra
+
+    # ------------------------------------------------------------------- act
+    def subjective_state(self, astate: AgentState) -> jnp.ndarray:
+        stored = self._summ.stored(astate.history_carry)
+        return self._summ.forward(astate.learner.summarizer_params, stored)
+
+    def act(
+        self, astate: AgentState, key: PRNGKey, exploit: bool = False
+    ) -> Tuple[AgentState, ActionChoice]:
+        subjective = self.subjective_state(astate)
+        mask = self.safety_module.filter_action(
+            astate.safety, subjective, astate.available_mask
+        )
+        learner_state, choice = self.policy_learner.act(
+            astate.learner, subjective, mask, key, exploit
+        )
+        return astate.replace(learner=learner_state, last_action=choice), choice
+
+    # --------------------------------------------------------------- observe
+    def observe(
+        self,
+        astate: AgentState,
+        result: ActionResult,
+        next_obs: jnp.ndarray,
+        key: PRNGKey,
+    ) -> AgentState:
+        """Ingest a batched env step: update history, push the transition,
+        reset per-env state where episodes ended."""
+        summ = self._summ
+        learner = self.policy_learner
+        space = learner.action_space
+        rep = learner.resolved_action_representation(space)
+
+        prev_stored = summ.stored(astate.history_carry)
+        act_rep = rep.apply(astate.last_action.action)
+        carry_after = summ.observe(astate.history_carry, result.observation, act_rep)
+        next_stored = summ.stored(carry_after)
+
+        done = result.done
+        num_envs = done.shape[0]
+
+        next_mask = result.available_actions_mask
+        transition = TransitionBatch(
+            state=prev_stored,
+            action=astate.last_action.action,
+            reward=result.reward,
+            next_state=next_stored,
+            terminated=result.terminated,
+            truncated=result.truncated,
+            action_index=astate.last_action.index,
+            curr_available_mask=(
+                astate.available_mask if self.track_available_masks else None
+            ),
+            next_available_mask=(next_mask if self.track_available_masks else None),
+            cost=(result.cost if self.store_cost else None),
+        )
+        k_push, k_reset = jax.random.split(key)
+        replay_state = self.replay_buffer.push(astate.replay, transition, k_push)
+
+        # Asynchronous per-env episode resets: zero the window and seed it with
+        # the post-reset observation.
+        zeroed = summ.reset_envs(carry_after, done)
+        fresh = summ.observe(zeroed, next_obs, None)
+        carry_next = tree_select(done, fresh, carry_after)
+
+        if astate.available_mask is not None:
+            full = jnp.ones_like(astate.available_mask)
+            new_mask = next_mask if next_mask is not None else full
+            mask_next = jnp.where(done[:, None], full, new_mask)
+        else:
+            mask_next = None
+
+        learner_state = learner.episode_reset(astate.learner, done, k_reset)
+        return astate.replace(
+            learner=learner_state,
+            replay=replay_state,
+            history_carry=carry_next,
+            available_mask=mask_next,
+        )
+
+    # ----------------------------------------------------------------- learn
+    def learn(self, astate: AgentState, key: PRNGKey) -> Tuple[AgentState, dict]:
+        k_l, k_s = jax.random.split(key)
+        learner_state, metrics = self.policy_learner.learn(
+            astate.learner, self.replay_buffer, astate.replay, k_l
+        )
+        safety_state = astate.safety
+        if hasattr(self.safety_module, "learn"):
+            safety_state, s_metrics = self.safety_module.learn(
+                safety_state, self.replay_buffer, astate.replay, k_s, learner_state
+            )
+            metrics = {**metrics, **s_metrics}
+        replay_state = astate.replay
+        if self.policy_learner.on_policy:
+            replay_state = self.replay_buffer.clear(replay_state)
+        return (
+            astate.replace(learner=learner_state, safety=safety_state, replay=replay_state),
+            metrics,
+        )
+
+    def learn_batch(self, astate: AgentState, batch: TransitionBatch):
+        """Offline path (reference pearl_agent.py:224-233)."""
+        learner_state, metrics = self.policy_learner.learn_batch(astate.learner, batch)
+        safety_state, s_metrics = self.safety_module.learn_batch(astate.safety, batch)
+        return astate.replace(learner=learner_state, safety=safety_state), {
+            **metrics,
+            **s_metrics,
+        }

@@ -1,0 +1,15 @@
+from pearl_tpu.history_summarization_modules.modules import (
+    HistorySummarizationModule,
+    IdentityHistorySummarization,
+    LSTMHistorySummarization,
+    StackingHistorySummarization,
+    TransformerHistorySummarization,
+)
+
+__all__ = [
+    "HistorySummarizationModule",
+    "IdentityHistorySummarization",
+    "StackingHistorySummarization",
+    "LSTMHistorySummarization",
+    "TransformerHistorySummarization",
+]

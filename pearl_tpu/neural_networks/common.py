@@ -1,0 +1,127 @@
+"""Common NN building blocks (reference: pearl/neural_networks/common/utils.py).
+
+The reference's `mlp_block`/`conv_block` builders become flax.linen modules.
+All modules operate on batched inputs (leading batch axis); higher arities
+(candidate-action axes, ensembles) are obtained with `vmap` at the call site
+or `nn.vmap` for parameter ensembles — never Python loops, so XLA sees one
+large fused matmul per layer (MXU-friendly).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Activation = Callable[[jnp.ndarray], jnp.ndarray]
+
+ACTIVATIONS = {
+    "relu": nn.relu,
+    "tanh": jnp.tanh,
+    "leaky_relu": nn.leaky_relu,
+    "sigmoid": nn.sigmoid,
+    "softplus": nn.softplus,
+    "gelu": nn.gelu,
+    "elu": nn.elu,
+    "linear": lambda x: x,
+}
+
+
+def resolve_activation(act) -> Activation:
+    if callable(act):
+        return act
+    return ACTIVATIONS[act]
+
+
+class MLP(nn.Module):
+    """MLP block (reference `mlp_block`, common/utils.py:76-153): optional
+    layer norm, dropout, and skip connections between hidden layers."""
+
+    hidden_dims: Sequence[int]
+    output_dim: int = 1
+    activation: str = "relu"
+    last_activation: Optional[str] = None
+    use_layer_norm: bool = False
+    use_skip_connections: bool = False
+    dropout_rate: float = 0.0
+    use_xavier_init: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        act = resolve_activation(self.activation)
+        kernel_init = (
+            nn.initializers.xavier_uniform()
+            if self.use_xavier_init
+            else nn.initializers.lecun_normal()
+        )
+        for i, h in enumerate(self.hidden_dims):
+            y = nn.Dense(h, kernel_init=kernel_init, name=f"dense_{i}")(x)
+            if self.use_layer_norm:
+                y = nn.LayerNorm(name=f"ln_{i}")(y)
+            if self.dropout_rate > 0.0:
+                y = nn.Dropout(self.dropout_rate, deterministic=deterministic)(y)
+            y = act(y)
+            if self.use_skip_connections and x.shape[-1] == y.shape[-1]:
+                y = y + x
+            x = y
+        x = nn.Dense(self.output_dim, kernel_init=kernel_init, name="dense_out")(x)
+        if self.last_activation is not None:
+            x = resolve_activation(self.last_activation)(x)
+        return x
+
+
+class ConvNet(nn.Module):
+    """Conv feature stack (reference `conv_block`, common/utils.py:156-199)
+    followed by a flatten; used by CNN value/Q/actor networks. Inputs are
+    NHWC in [0, 255]; the /255 normalization from the reference's
+    CNNValueNetwork is applied here."""
+
+    out_channels: Sequence[int] = (16, 32)
+    kernel_sizes: Sequence[int] = (8, 4)
+    strides: Sequence[int] = (4, 2)
+    paddings: Sequence[int] = (0, 0)
+    activation: str = "relu"
+    normalize: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        act = resolve_activation(self.activation)
+        if self.normalize:
+            x = x.astype(jnp.float32) / 255.0
+        for i, (c, k, s, p) in enumerate(
+            zip(self.out_channels, self.kernel_sizes, self.strides, self.paddings)
+        ):
+            x = nn.Conv(
+                features=c,
+                kernel_size=(k, k),
+                strides=(s, s),
+                padding=[(p, p), (p, p)],
+                name=f"conv_{i}",
+            )(x)
+            x = act(x)
+        return x.reshape(x.shape[:-3] + (-1,))
+
+
+def init_params(module: nn.Module, key, *example_inputs, method=None):
+    """Initialize a linen module and return its params pytree."""
+    variables = module.init(key, *example_inputs, method=method)
+    return variables["params"]
+
+
+def over_actions(apply_fn, state: jnp.ndarray, actions: jnp.ndarray, *args):
+    """Evaluate a (state, action)->out function over a candidate-action axis.
+
+    state: (B, s), actions: (B, A, a) -> out with shape (B, A, ...).
+    Implemented by broadcasting the state across the action axis and folding
+    (B, A) into one batch so the underlying MLP sees a single large matmul
+    (reference: `extend_state_feature_by_available_action_space`,
+    pearl/utils/functional_utils/learning/extend_state_feature.py:13-48).
+    """
+    B, A = actions.shape[0], actions.shape[1]
+    state_rep = jnp.broadcast_to(state[:, None, :], (B, A, state.shape[-1]))
+    flat_out = apply_fn(
+        state_rep.reshape(B * A, -1), actions.reshape(B * A, -1), *args
+    )
+    return jax.tree.map(lambda o: o.reshape((B, A) + o.shape[1:]), flat_out)

@@ -1,0 +1,367 @@
+"""Q-value networks (reference: pearl/neural_networks/sequential_decision_making/q_value_networks.py).
+
+Each network family is a frozen-dataclass *adapter* exposing a uniform
+functional protocol that discrete-action learners are generic over:
+
+    init(key, state_dim, action_dim, num_actions) -> params
+    q_all(params, state, actions, mask) -> (B, A)
+
+where `state` is (B, s), `actions` is the represented candidate-action tensor
+(B, A, a) and `mask` is (B, A) availability (True = available). The Q for the
+taken action is a `take_along_axis` gather on `q_all`'s output — there is no
+separate single-action path, so every learner update is one big batched
+matmul over (B*A) rows (MXU-friendly), mirroring the reference's
+`extend_state_feature_by_available_action_space` trick but without the
+per-step Python assembly.
+
+Distributional (quantile) and ensemble networks extend the protocol:
+    QuantileQValueNetwork.quantiles_all(params, state, actions) -> (B, A, N)
+    EnsembleQValueNetwork.q_ensemble(params, state, actions) -> (B, K, A)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pearl_tpu.neural_networks.common import MLP, ConvNet, over_actions
+
+
+class _PairQNet(nn.Module):
+    """MLP over concat(state, action) -> (B, out)."""
+
+    hidden_dims: Sequence[int]
+    output_dim: int = 1
+    use_layer_norm: bool = False
+
+    @nn.compact
+    def __call__(self, state, action):
+        x = jnp.concatenate([state, action], axis=-1)
+        return MLP(
+            hidden_dims=self.hidden_dims,
+            output_dim=self.output_dim,
+            use_layer_norm=self.use_layer_norm,
+        )(x)
+
+
+@dataclasses.dataclass(frozen=True)
+class VanillaQValueNetwork:
+    """Q(s, a) via concat-MLP (reference q_value_networks.py:125-183)."""
+
+    hidden_dims: Sequence[int] = (64, 64)
+    use_layer_norm: bool = False
+
+    def _module(self):
+        return _PairQNet(hidden_dims=tuple(self.hidden_dims), use_layer_norm=self.use_layer_norm)
+
+    def init(self, key, state_dim: int, action_dim: int, num_actions: int):
+        del num_actions
+        m = self._module()
+        return m.init(key, jnp.zeros((1, state_dim)), jnp.zeros((1, action_dim)))["params"]
+
+    def q_all(self, params, state, actions, mask=None):
+        m = self._module()
+        q = over_actions(
+            lambda s, a: m.apply({"params": params}, s, a), state, actions
+        )[..., 0]
+        return q
+
+
+class _MultiHeadNet(nn.Module):
+    hidden_dims: Sequence[int]
+    num_actions: int
+
+    @nn.compact
+    def __call__(self, state):
+        return MLP(hidden_dims=tuple(self.hidden_dims), output_dim=self.num_actions)(state)
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiHeadQValueNetwork:
+    """state -> one Q head per action (reference VanillaQValueMultiHeadNetwork,
+    q_value_networks.py:186-250). Ignores the action representation; candidate
+    order must match head order (true in the reference as well, which selects
+    heads by one-hot bmm)."""
+
+    hidden_dims: Sequence[int] = (64, 64)
+
+    def init(self, key, state_dim: int, action_dim: int, num_actions: int):
+        del action_dim
+        m = _MultiHeadNet(tuple(self.hidden_dims), num_actions)
+        return m.init(key, jnp.zeros((1, state_dim)))["params"]
+
+    def q_all(self, params, state, actions, mask=None):
+        num_actions = actions.shape[1]
+        m = _MultiHeadNet(tuple(self.hidden_dims), num_actions)
+        return m.apply({"params": params}, state)
+
+
+class _DuelingNet(nn.Module):
+    """Dueling arch (reference DuelingQValueNetwork, q_value_networks.py:353-509):
+    shared state trunk, value head V(s), advantage head A(s, a) per candidate,
+    Q = V + A - mean_available(A)."""
+
+    hidden_dims: Sequence[int]
+
+    @nn.compact
+    def __call__(self, state, actions, mask=None):
+        B, A = actions.shape[0], actions.shape[1]
+        feat = MLP(
+            hidden_dims=tuple(self.hidden_dims[:-1]),
+            output_dim=self.hidden_dims[-1],
+            last_activation="relu",
+            name="state_arch",
+        )(state)
+        value = MLP(hidden_dims=(self.hidden_dims[-1],), output_dim=1, name="value_arch")(
+            feat
+        )[..., 0]
+        feat_rep = jnp.broadcast_to(feat[:, None, :], (B, A, feat.shape[-1]))
+        adv_in = jnp.concatenate([feat_rep, actions], axis=-1)
+        adv = MLP(
+            hidden_dims=(self.hidden_dims[-1],), output_dim=1, name="advantage_arch"
+        )(adv_in.reshape(B * A, -1)).reshape(B, A)
+        if mask is None:
+            adv_mean = jnp.mean(adv, axis=-1, keepdims=True)
+        else:
+            m = mask.astype(adv.dtype)
+            adv_mean = jnp.sum(adv * m, axis=-1, keepdims=True) / jnp.maximum(
+                jnp.sum(m, axis=-1, keepdims=True), 1.0
+            )
+        return value[:, None] + adv - adv_mean
+
+
+@dataclasses.dataclass(frozen=True)
+class DuelingQValueNetwork:
+    hidden_dims: Sequence[int] = (64, 64)
+
+    def init(self, key, state_dim: int, action_dim: int, num_actions: int):
+        m = _DuelingNet(tuple(self.hidden_dims))
+        return m.init(
+            key, jnp.zeros((1, state_dim)), jnp.zeros((1, num_actions, action_dim))
+        )["params"]
+
+    def q_all(self, params, state, actions, mask=None):
+        m = _DuelingNet(tuple(self.hidden_dims))
+        return m.apply({"params": params}, state, actions, mask)
+
+
+class _TwoTowerNet(nn.Module):
+    """Separate state/action towers -> interaction MLP (reference
+    TwoTowerQValueNetwork, q_value_networks.py:518-639)."""
+
+    state_hidden_dims: Sequence[int]
+    action_hidden_dims: Sequence[int]
+    hidden_dims: Sequence[int]
+    state_output_dim: int
+    action_output_dim: int
+
+    @nn.compact
+    def __call__(self, state, action):
+        s = MLP(
+            hidden_dims=tuple(self.state_hidden_dims),
+            output_dim=self.state_output_dim,
+            last_activation="relu",
+            name="state_tower",
+        )(state)
+        a = MLP(
+            hidden_dims=tuple(self.action_hidden_dims),
+            output_dim=self.action_output_dim,
+            last_activation="relu",
+            name="action_tower",
+        )(action)
+        x = jnp.concatenate([s, a], axis=-1)
+        return MLP(hidden_dims=tuple(self.hidden_dims), output_dim=1, name="interaction")(x)
+
+
+@dataclasses.dataclass(frozen=True)
+class TwoTowerQValueNetwork:
+    state_hidden_dims: Sequence[int] = (64,)
+    action_hidden_dims: Sequence[int] = (64,)
+    hidden_dims: Sequence[int] = (64, 64)
+    state_output_dim: int = 64
+    action_output_dim: int = 64
+
+    def _module(self):
+        return _TwoTowerNet(
+            tuple(self.state_hidden_dims),
+            tuple(self.action_hidden_dims),
+            tuple(self.hidden_dims),
+            self.state_output_dim,
+            self.action_output_dim,
+        )
+
+    def init(self, key, state_dim: int, action_dim: int, num_actions: int):
+        del num_actions
+        m = self._module()
+        return m.init(key, jnp.zeros((1, state_dim)), jnp.zeros((1, action_dim)))["params"]
+
+    def q_all(self, params, state, actions, mask=None):
+        m = self._module()
+        return over_actions(
+            lambda s, a: m.apply({"params": params}, s, a), state, actions
+        )[..., 0]
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantileQValueNetwork:
+    """Quantile-distributional Q (reference q_value_networks.py:253-350).
+
+    `taus()` returns the N+1 quantile edges; `midpoints()` the N midpoints
+    tau-hat used by the QR loss."""
+
+    hidden_dims: Sequence[int] = (64, 64)
+    num_quantiles: int = 10
+    use_layer_norm: bool = False
+
+    def _module(self):
+        return _PairQNet(
+            hidden_dims=tuple(self.hidden_dims),
+            output_dim=self.num_quantiles,
+            use_layer_norm=self.use_layer_norm,
+        )
+
+    def taus(self) -> jnp.ndarray:
+        return jnp.linspace(0.0, 1.0, self.num_quantiles + 1)
+
+    def midpoints(self) -> jnp.ndarray:
+        t = self.taus()
+        return (t[:-1] + t[1:]) / 2.0
+
+    def init(self, key, state_dim: int, action_dim: int, num_actions: int):
+        del num_actions
+        m = self._module()
+        return m.init(key, jnp.zeros((1, state_dim)), jnp.zeros((1, action_dim)))["params"]
+
+    def quantiles_all(self, params, state, actions, mask=None):
+        """(B, A, N) quantile values for every candidate action."""
+        m = self._module()
+        return over_actions(
+            lambda s, a: m.apply({"params": params}, s, a), state, actions
+        )
+
+    def q_all(self, params, state, actions, mask=None):
+        """Mean over quantiles — risk-neutral Q (used when no safety module)."""
+        return jnp.mean(self.quantiles_all(params, state, actions, mask), axis=-1)
+
+
+class _PriorQNet(nn.Module):
+    """Trainable net; the frozen additive prior is handled by the adapter
+    (reference MLPWithPrior, common/epistemic_neural_networks.py:51-84)."""
+
+    hidden_dims: Sequence[int]
+
+    @nn.compact
+    def __call__(self, state, action):
+        x = jnp.concatenate([state, action], axis=-1)
+        return MLP(hidden_dims=tuple(self.hidden_dims), output_dim=1)(x)
+
+
+@dataclasses.dataclass(frozen=True)
+class EnsembleQValueNetwork:
+    """K Q-nets with additive frozen random priors (reference
+    EnsembleQValueNetwork, q_value_networks.py:642-711, over `Ensemble`,
+    common/epistemic_neural_networks.py:87-137).
+
+    Params are a dict {"train": stacked (K, ...), "prior": stacked (K, ...)}.
+    The "prior" subtree must be excluded from optimization: learners do this by
+    updating only params["train"] (see BootstrappedDQN). All K members evaluate
+    in one vmapped pass (a single batched matmul per layer), replacing the
+    reference's Python loop in `ensemble_forward`.
+    """
+
+    hidden_dims: Sequence[int] = (64, 64)
+    ensemble_size: int = 10
+    prior_scale: float = 0.3
+
+    def _module(self):
+        return _PriorQNet(tuple(self.hidden_dims))
+
+    def init(self, key, state_dim: int, action_dim: int, num_actions: int):
+        del num_actions
+        m = self._module()
+        s0, a0 = jnp.zeros((1, state_dim)), jnp.zeros((1, action_dim))
+        k_train, k_prior = jax.random.split(key)
+
+        def one(k):
+            return m.init(k, s0, a0)["params"]
+
+        train = jax.vmap(one)(jax.random.split(k_train, self.ensemble_size))
+        prior = jax.vmap(one)(jax.random.split(k_prior, self.ensemble_size))
+        return {"train": train, "prior": prior}
+
+    def _member_q(self, train_p, prior_p, s_flat, a_flat):
+        m = self._module()
+        base = m.apply({"params": train_p}, s_flat, a_flat)[..., 0]
+        prior = m.apply({"params": prior_p}, s_flat, a_flat)[..., 0]
+        return base + self.prior_scale * jax.lax.stop_gradient(prior)
+
+    def q_ensemble(self, params, state, actions, mask=None):
+        """(B, K, A): Q for every ensemble member and candidate action."""
+        B, A = actions.shape[0], actions.shape[1]
+        s_flat = jnp.broadcast_to(state[:, None, :], (B, A, state.shape[-1])).reshape(
+            B * A, -1
+        )
+        a_flat = actions.reshape(B * A, -1)
+        q = jax.vmap(lambda tp, pp: self._member_q(tp, pp, s_flat, a_flat))(
+            params["train"], params["prior"]
+        )  # (K, B*A)
+        return q.reshape(self.ensemble_size, B, A).transpose(1, 0, 2)
+
+    def q_member(self, params, state, actions, z, mask=None):
+        """(B, A): Q under per-row ensemble index z (B,) i32."""
+        q = self.q_ensemble(params, state, actions, mask)  # (B, K, A)
+        return jnp.take_along_axis(q, z[:, None, None], axis=1)[:, 0, :]
+
+    def q_all(self, params, state, actions, mask=None):
+        """Ensemble mean (used when acting without deep exploration)."""
+        return jnp.mean(self.q_ensemble(params, state, actions, mask), axis=1)
+
+
+class _CNNQNet(nn.Module):
+    conv: ConvNet
+    hidden_dims: Sequence[int]
+    num_actions: int
+
+    @nn.compact
+    def __call__(self, state):
+        feat = self.conv(state)
+        return MLP(hidden_dims=tuple(self.hidden_dims), output_dim=self.num_actions)(feat)
+
+
+@dataclasses.dataclass(frozen=True)
+class CNNQValueNetwork:
+    """Atari-style CNN multi-head Q (reference CNNQValueMultiHeadNetwork,
+    q_value_networks.py:714-926). `state` is an NHWC image batch."""
+
+    input_shape: Tuple[int, int, int] = (84, 84, 4)  # (H, W, C)
+    out_channels: Sequence[int] = (16, 32)
+    kernel_sizes: Sequence[int] = (8, 4)
+    strides: Sequence[int] = (4, 2)
+    paddings: Sequence[int] = (0, 0)
+    hidden_dims: Sequence[int] = (128,)
+
+    def _module(self, num_actions):
+        conv = ConvNet(
+            out_channels=tuple(self.out_channels),
+            kernel_sizes=tuple(self.kernel_sizes),
+            strides=tuple(self.strides),
+            paddings=tuple(self.paddings),
+        )
+        return _CNNQNet(conv, tuple(self.hidden_dims), num_actions)
+
+    def init(self, key, state_dim: int, action_dim: int, num_actions: int):
+        # state_dim is the flattened image size; learners pass flattened states
+        # and we reshape to the configured input shape.
+        del state_dim, action_dim
+        m = self._module(num_actions)
+        return m.init(key, jnp.zeros((1,) + tuple(self.input_shape)))["params"]
+
+    def q_all(self, params, state, actions, mask=None):
+        num_actions = actions.shape[1]
+        m = self._module(num_actions)
+        imgs = state.reshape((state.shape[0],) + tuple(self.input_shape))
+        return m.apply({"params": params}, imgs)

@@ -1,0 +1,95 @@
+"""HBM-resident ring-buffer replay (reference: pearl/replay_buffers/*).
+
+The reference keeps a CPU deque of per-step `Transition`s and re-concatenates
+sampled Python lists into batches on every learner round
+(tensor_based_replay_buffer.py:254-403) — the single biggest throughput
+bottleneck identified in SURVEY.md §3.3. Here the buffer is a preallocated
+pytree of device arrays (capacity-leading axis) + a cursor: `push` is a
+scatter, `sample` is a gather, both O(1) jitted ops that fuse into the
+surrounding training scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from pearl_tpu.api.types import PRNGKey
+from pearl_tpu.replay_buffers.transition import TransitionBatch
+
+
+@struct.dataclass
+class ReplayBufferState:
+    storage: TransitionBatch  # every leaf has leading axis = capacity
+    cursor: jnp.ndarray  # i32 next write slot
+    size: jnp.ndarray  # i32 number of valid entries
+
+
+@dataclasses.dataclass(frozen=True)
+class BasicReplayBuffer:
+    """Uniform FIFO replay (reference basic_replay_buffer.py:18-49).
+
+    Sampling is uniform WITH replacement (`random.randint` gather) — the
+    reference samples without replacement via `random.sample`, a distinction
+    that is immaterial for capacity >> batch_size and avoids a device-side
+    permutation.
+    """
+
+    capacity: int = 10_000
+
+    def init(self, example: TransitionBatch) -> ReplayBufferState:
+        """`example` is a TransitionBatch with any leading axis (its values are
+        only used for shape/dtype)."""
+        storage = jax.tree.map(
+            lambda x: jnp.zeros((self.capacity,) + tuple(x.shape[1:]), x.dtype),
+            example,
+        )
+        return ReplayBufferState(
+            storage=storage,
+            cursor=jnp.zeros((), jnp.int32),
+            size=jnp.zeros((), jnp.int32),
+        )
+
+    def push(
+        self, state: ReplayBufferState, batch: TransitionBatch, key: Optional[PRNGKey] = None
+    ) -> ReplayBufferState:
+        """Write a batch of transitions (leading axis = N) at the cursor."""
+        del key
+        n = batch.reward.shape[0]
+        idx = (state.cursor + jnp.arange(n, dtype=jnp.int32)) % self.capacity
+        storage = jax.tree.map(
+            lambda buf, val: buf.at[idx].set(val), state.storage, batch
+        )
+        return ReplayBufferState(
+            storage=storage,
+            cursor=(state.cursor + n) % self.capacity,
+            size=jnp.minimum(state.size + n, self.capacity),
+        )
+
+    def sample(
+        self, state: ReplayBufferState, key: PRNGKey, batch_size: int
+    ) -> TransitionBatch:
+        idx = jax.random.randint(key, (batch_size,), 0, jnp.maximum(state.size, 1))
+        return jax.tree.map(lambda buf: buf[idx], state.storage)
+
+    def clear(self, state: ReplayBufferState) -> ReplayBufferState:
+        return ReplayBufferState(
+            storage=state.storage,
+            cursor=jnp.zeros((), jnp.int32),
+            size=jnp.zeros((), jnp.int32),
+        )
+
+    def __len__(self) -> int:
+        return self.capacity
+
+
+@dataclasses.dataclass(frozen=True)
+class SingleTransitionReplayBuffer(BasicReplayBuffer):
+    """1-slot buffer used as the default for tabular/bandit learners
+    (reference examples/single_transition_replay_buffer.py:43-94)."""
+
+    capacity: int = 1
