@@ -1,0 +1,82 @@
+"""Throughput benchmark: fully-fused DQN actor-learner on vectorized CartPole.
+
+Measures aggregate env-steps/s of the compiled act -> env.step -> replay.push
+-> (sample -> gradient step) loop on the available accelerator. North star:
+>=1M env-steps/s (BASELINE.md; the reference's step-at-a-time Python loop
+does ~1e3-1e4 steps/s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is the ratio against the 1M steps/s north-star target.
+
+Env overrides: BENCH_NUM_ENVS, BENCH_LEARNS_PER_CALL, BENCH_STEPS_PER_LEARN,
+BENCH_CALLS.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+
+    from pearl_tpu.agent import PearlAgent
+    from pearl_tpu.envs import CartPole
+    from pearl_tpu.policy_learners.sequential_decision_making import DeepQLearning
+    from pearl_tpu.replay_buffers.replay_buffer import BasicReplayBuffer
+    from pearl_tpu.training.throughput import make_compiled_runner
+
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
+    steps_per_learn = int(os.environ.get("BENCH_STEPS_PER_LEARN", 8))
+    learns_per_call = int(os.environ.get("BENCH_LEARNS_PER_CALL", 8))
+    calls = int(os.environ.get("BENCH_CALLS", 10))
+
+    agent = PearlAgent(
+        policy_learner=DeepQLearning(training_rounds=1, batch_size=1024),
+        replay_buffer=BasicReplayBuffer(capacity=262_144),
+    )
+    init_fn, run_fn = make_compiled_runner(
+        agent,
+        CartPole(),
+        num_envs=num_envs,
+        steps_per_learn=steps_per_learn,
+        learns_per_call=learns_per_call,
+    )
+    key = jax.random.PRNGKey(0)
+    astate, env_states = init_fn(key)
+
+    # Warmup (compilation + first execution).
+    astate, env_states, stats = run_fn(astate, env_states, jax.random.PRNGKey(1))
+    jax.block_until_ready(stats)
+
+    t0 = time.perf_counter()
+    for i in range(calls):
+        astate, env_states, stats = run_fn(
+            astate, env_states, jax.random.PRNGKey(2 + i)
+        )
+    jax.block_until_ready(stats)
+    elapsed = time.perf_counter() - t0
+
+    total_steps = calls * learns_per_call * steps_per_learn * num_envs
+    steps_per_sec = total_steps / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "dqn_cartpole_env_steps_per_s",
+                "value": round(steps_per_sec, 1),
+                "unit": "env_steps/s",
+                "vs_baseline": round(steps_per_sec / 1e6, 3),
+            }
+        )
+    )
+    print(
+        f"# device={jax.devices()[0]} num_envs={num_envs} "
+        f"steps_per_learn={steps_per_learn} learns_per_call={learns_per_call} "
+        f"calls={calls} elapsed={elapsed:.2f}s episodes={int(stats['episodes'])}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -72,6 +72,11 @@ class DeepTDLearning(PolicyLearner):
     soft_update_tau: float = 0.75
     is_conservative: bool = False
     conservative_alpha: float = 2.0
+    # When set (e.g. "data"), gradients are pmean'd over that mesh axis inside
+    # learn_batch — the data-parallel learner synchronization described in
+    # SURVEY.md §2.11 (replacing the reference's vestigial torch.distributed
+    # all_reduce). Only meaningful inside shard_map/pjit over a Mesh.
+    pmean_axis: Optional[str] = None
 
     def optimizer(self):
         return optax.adamw(self.learning_rate, weight_decay=self.weight_decay)
@@ -160,8 +165,17 @@ class DeepTDLearning(PolicyLearner):
                 loss = loss + self.conservative_alpha * cql
             return loss, jnp.mean(jnp.abs(td_error))
 
+        return self._apply_gradients(state, loss_fn)
+
+    def _apply_gradients(self, state: DeepTDState, loss_fn):
+        """Shared tail of every TD learn_batch: grad -> (optional pmean) ->
+        optimizer -> periodic soft target update (deep_td_learning.py:283-291,
+        334-361)."""
         trainable = {"q": state.params, "summ": state.summarizer_params}
         (loss, abs_td), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+        if self.pmean_axis is not None:
+            grads = jax.lax.pmean(grads, self.pmean_axis)
+            abs_td = jax.lax.pmean(abs_td, self.pmean_axis)
         updates, opt_state = self.optimizer().update(grads, state.opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         step = state.step + 1

@@ -83,9 +83,32 @@ def online_learning(
     venv = VectorEnv(env, num_envs)
     key = jax.random.PRNGKey(seed)
     key, k_env, k_agent = jax.random.split(key, 3)
-    if agent_state is None or env_states is None:
+    if env_states is None:
         env_states, obs = venv.reset(k_env)
-        agent_state = agent.init(k_agent, venv.observation_dim, num_envs, obs)
+        if agent_state is None:
+            agent_state = agent.init(k_agent, venv.observation_dim, num_envs, obs)
+        else:
+            # Evaluating a previously trained agent on fresh envs (possibly a
+            # different num_envs): rebuild the per-env carries around the
+            # learned params.
+            summ = agent.policy_learner.history_summarizer
+            rep, rep_dim, num_actions = agent._rep_dims(venv.observation_dim)
+            carry = summ.init_carry(num_envs, venv.observation_dim, rep_dim)
+            carry = summ.observe(carry, obs, None)
+            space = agent.policy_learner.action_space
+            mask = (
+                jnp.ones((num_envs, num_actions), bool) if num_actions else None
+            )
+            from pearl_tpu.policy_learners.policy_learner import ActionChoice
+
+            agent_state = agent_state.replace(
+                history_carry=carry,
+                available_mask=mask,
+                last_action=ActionChoice(
+                    action=jnp.zeros((num_envs, space.action_dim)),
+                    index=jnp.zeros((num_envs,), jnp.int32),
+                ),
+            )
 
     run_chunk = _make_chunk_fn(agent, venv, learn_every_k_steps, learn, exploit)
     warm_chunk = (
