@@ -31,10 +31,12 @@ def main():
     steps_per_learn = int(os.environ.get("BENCH_STEPS_PER_LEARN", 8))
     learns_per_call = int(os.environ.get("BENCH_LEARNS_PER_CALL", 8))
     calls = int(os.environ.get("BENCH_CALLS", 10))
+    capacity = int(os.environ.get("BENCH_CAPACITY", 262_144))
+    batch_size = int(os.environ.get("BENCH_BATCH_SIZE", 1024))
 
     agent = PearlAgent(
-        policy_learner=DeepQLearning(training_rounds=1, batch_size=1024),
-        replay_buffer=BasicReplayBuffer(capacity=262_144),
+        policy_learner=DeepQLearning(training_rounds=1, batch_size=batch_size),
+        replay_buffer=BasicReplayBuffer(capacity=capacity),
     )
     init_fn, run_fn = make_compiled_runner(
         agent,
@@ -44,11 +46,16 @@ def main():
         learns_per_call=learns_per_call,
     )
     key = jax.random.PRNGKey(0)
+    t_init = time.perf_counter()
     astate, env_states = init_fn(key)
+    jax.block_until_ready(env_states)
+    print(f"# init done in {time.perf_counter()-t_init:.1f}s", file=sys.stderr, flush=True)
 
     # Warmup (compilation + first execution).
+    t_warm = time.perf_counter()
     astate, env_states, stats = run_fn(astate, env_states, jax.random.PRNGKey(1))
     jax.block_until_ready(stats)
+    print(f"# warmup (compile) done in {time.perf_counter()-t_warm:.1f}s", file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     for i in range(calls):
