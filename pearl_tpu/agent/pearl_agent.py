@@ -214,13 +214,25 @@ class PearlAgent:
     # ----------------------------------------------------------------- learn
     def learn(self, astate: AgentState, key: PRNGKey) -> Tuple[AgentState, dict]:
         k_l, k_s = jax.random.split(key)
+        batch_transform = None
+        if hasattr(self.safety_module, "batch_transform"):
+            batch_transform = self.safety_module.batch_transform(astate.safety)
         learner_state, metrics = self.policy_learner.learn(
-            astate.learner, self.replay_buffer, astate.replay, k_l
+            astate.learner,
+            self.replay_buffer,
+            astate.replay,
+            k_l,
+            **({"batch_transform": batch_transform} if batch_transform else {}),
         )
         safety_state = astate.safety
         if hasattr(self.safety_module, "learn"):
             safety_state, s_metrics = self.safety_module.learn(
-                safety_state, self.replay_buffer, astate.replay, k_s, learner_state
+                safety_state,
+                self.replay_buffer,
+                astate.replay,
+                k_s,
+                self.policy_learner,
+                learner_state,
             )
             metrics = {**metrics, **s_metrics}
         replay_state = astate.replay

@@ -1,6 +1,41 @@
 from pearl_tpu.envs.cartpole import CartPole
 from pearl_tpu.envs.pendulum import Pendulum
 from pearl_tpu.envs.frozen_lake import FrozenLake
+from pearl_tpu.envs.classic import Acrobot, ContinuousMountainCar, MountainCar
+from pearl_tpu.envs.sparse_reward import (
+    ContinuousSparseRewardEnvironment,
+    DiscreteSparseRewardEnvironment,
+)
+from pearl_tpu.envs.bandit import (
+    ClassificationBanditEnvironment,
+    LinearSyntheticBanditEnvironment,
+    RewardIsTenTimesActionMABEnvironment,
+)
+from pearl_tpu.envs.wrappers import (
+    DynamicActionSpaceWrapper,
+    OneHotObservationsFromDiscrete,
+    PartialObservabilityWrapper,
+    SafetyWrapper,
+    SparseRewardWrapper,
+)
 from pearl_tpu.envs.vector import VectorEnv
 
-__all__ = ["CartPole", "Pendulum", "FrozenLake", "VectorEnv"]
+__all__ = [
+    "CartPole",
+    "Pendulum",
+    "FrozenLake",
+    "Acrobot",
+    "MountainCar",
+    "ContinuousMountainCar",
+    "DiscreteSparseRewardEnvironment",
+    "ContinuousSparseRewardEnvironment",
+    "LinearSyntheticBanditEnvironment",
+    "RewardIsTenTimesActionMABEnvironment",
+    "ClassificationBanditEnvironment",
+    "PartialObservabilityWrapper",
+    "SparseRewardWrapper",
+    "SafetyWrapper",
+    "DynamicActionSpaceWrapper",
+    "OneHotObservationsFromDiscrete",
+    "VectorEnv",
+]

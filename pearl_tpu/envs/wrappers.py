@@ -1,0 +1,156 @@
+"""Environment wrappers (reference: pearl/user_envs/wrappers/ and
+pearl/utils/instantiations/environments/environments.py).
+
+- PartialObservabilityWrapper: observe only a subset of features
+  (wrappers/partial_observability.py:20-133, CartPole/Pendulum/etc variants
+  become index choices).
+- SparseRewardWrapper: binarize rewards around a success predicate
+  (wrappers/sparse_reward.py:20-100).
+- SafetyWrapper: emit cost = 1{risky state-action} in the ActionResult
+  (wrappers/safety.py:17-34 emits info["risky_sa"]).
+- DynamicActionSpaceWrapper: availability mask that shrinks periodically
+  (wrappers/dynamic_action_env.py:19-48).
+- OneHotObservationsFromDiscrete: one-hot a discrete observation
+  (environments.py:121-168) — FrozenLake builds this in; kept for generic
+  discrete-obs envs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from pearl_tpu.api.environment import Environment
+from pearl_tpu.api.spaces import BoxSpace
+from pearl_tpu.api.types import ActionResult, PRNGKey
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class EnvWrapper(Environment):
+    env: Environment = None
+
+    @property
+    def action_space(self):
+        return self.env.action_space
+
+    @property
+    def observation_space(self):
+        return self.env.observation_space
+
+    @property
+    def max_episode_steps(self):
+        return self.env.max_episode_steps
+
+    def reset(self, key: PRNGKey):
+        return self.env.reset(key)
+
+    def step(self, state, action, key: PRNGKey):
+        return self.env.step(state, action, key)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class PartialObservabilityWrapper(EnvWrapper):
+    """Expose only `observed_indices` of the observation. The reference ships
+    per-env variants (PartialObservableCartPole keeps positions, hides
+    velocities, etc.); here the indices are data:
+        CartPole:   (0, 2)  — positions only
+        Pendulum:   (0, 1)  — angle only
+        MountainCar:(0,)    — position only
+        Acrobot:    (0, 1, 2, 3) — angles only
+    """
+
+    observed_indices: Sequence[int] = (0,)
+
+    @property
+    def observation_space(self):
+        base = self.env.observation_space
+        idx = jnp.asarray(self.observed_indices)
+        return BoxSpace.create(base.low[idx], base.high[idx])
+
+    def _project(self, obs):
+        return obs[..., jnp.asarray(self.observed_indices)]
+
+    def reset(self, key):
+        state, obs = self.env.reset(key)
+        return state, self._project(obs)
+
+    def step(self, state, action, key):
+        state, result = self.env.step(state, action, key)
+        return state, result.replace(observation=self._project(result.observation))
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class SparseRewardWrapper(EnvWrapper):
+    """reward = 1 if success_fn(observation) else 0 (reference
+    wrappers/sparse_reward.py; e.g. Pendulum: success = cos(theta) > 0.98)."""
+
+    success_fn: Callable[[jnp.ndarray], jnp.ndarray] = None
+
+    def step(self, state, action, key):
+        state, result = self.env.step(state, action, key)
+        success = self.success_fn(result.observation)
+        return state, result.replace(reward=success.astype(jnp.float32))
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class SafetyWrapper(EnvWrapper):
+    """Emit cost = 1 when the state-action is risky (reference
+    wrappers/safety.py emits info["risky_sa"]; the cost flows into
+    ActionResult.cost so RC safety modules can learn from it)."""
+
+    risky_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = None
+
+    def step(self, state, action, key):
+        state, result = self.env.step(state, action, key)
+        risky = self.risky_fn(result.observation, action).astype(jnp.float32)
+        info = dict(result.info)
+        info["risky_sa"] = risky
+        return state, result.replace(cost=risky, info=info)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class DynamicActionSpaceWrapper(EnvWrapper):
+    """Shrink the available-action set periodically (reference
+    wrappers/dynamic_action_env.py:19-48): on steps where
+    (t // interval) is odd, the last `num_masked` actions are unavailable."""
+
+    interval: int = 4
+    num_masked: int = 1
+
+    def _mask(self, t):
+        n = self.env.action_space.n
+        ids = jnp.arange(n)
+        shrunk = ((t // self.interval) % 2) == 1
+        full = jnp.ones((n,), bool)
+        reduced = ids < (n - self.num_masked)
+        return jnp.where(shrunk, reduced, full)
+
+    def step(self, state, action, key):
+        new_state, result = self.env.step(state, action, key)
+        t = new_state.t if hasattr(new_state, "t") else jnp.zeros((), jnp.int32)
+        return new_state, result.replace(available_actions_mask=self._mask(t))
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class OneHotObservationsFromDiscrete(EnvWrapper):
+    """One-hot a scalar discrete observation (reference environments.py:121-168)."""
+
+    num_values: int = 0
+
+    @property
+    def observation_space(self):
+        return BoxSpace.create(jnp.zeros(self.num_values), jnp.ones(self.num_values))
+
+    def _one_hot(self, obs):
+        idx = jnp.reshape(obs, (-1,))[0].astype(jnp.int32)
+        return jnp.zeros((self.num_values,)).at[idx].set(1.0)
+
+    def reset(self, key):
+        state, obs = self.env.reset(key)
+        return state, self._one_hot(obs)
+
+    def step(self, state, action, key):
+        state, result = self.env.step(state, action, key)
+        return state, result.replace(observation=self._one_hot(result.observation))

@@ -127,11 +127,17 @@ class PolicyLearner(abc.ABC):
         applied by actor-critic learners with an RC safety module."""
         return batch
 
-    def learn(self, state, buffer, buffer_state, key: PRNGKey):
-        """training_rounds x (sample -> learn_batch) as a lax.scan."""
+    def learn(self, state, buffer, buffer_state, key: PRNGKey, batch_transform=None):
+        """training_rounds x (sample -> learn_batch) as a lax.scan.
+
+        `batch_transform` is the safety-module hook: the RC module uses it to
+        subtract lambda*cost from rewards before the learner sees the batch
+        (reference actor_critic_base.py:371-386)."""
 
         def round_fn(ls, k):
             batch = buffer.sample(buffer_state, k, self.batch_size)
+            if batch_transform is not None:
+                batch = batch_transform(batch)
             batch = self.preprocess_batch(ls, batch)
             ls, metrics = self.learn_batch(ls, batch)
             return ls, metrics

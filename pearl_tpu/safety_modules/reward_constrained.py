@@ -1,0 +1,139 @@
+"""Reward-constrained safety (RCPO) (reference:
+pearl/safety_modules/reward_constrained_safety_module.py:35-212).
+
+Semantics preserved:
+- A twin cost-critic Q_c is trained on `batch.cost` toward the cost-Bellman
+  target with cost discount gamma_c, taking the MAX of the twin targets (the
+  pessimistic choice for constraints) (:114-161).
+- The Lagrange multiplier follows
+  lambda <- clip(lambda + lr * (E[Q_c] * (1 - gamma_c) - constraint),
+  [0, upper_bound]) (:163-199).
+- The policy learner sees reward - lambda * cost via the agent's
+  batch_transform hook (reference couples through
+  actor_critic_base.preprocess_batch:377-383).
+
+Works with continuous actor-critic learners (the next-action for the cost
+Bellman target comes from the learner's actor, like the reference which reads
+the policy from the injected policy_learner)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from pearl_tpu.neural_networks.twin_critic import TwinCritic
+from pearl_tpu.safety_modules.identity import SafetyModule
+
+
+@struct.dataclass
+class RCSafetyState:
+    critic_params: Any
+    critic_target_params: Any
+    critic_opt: Any
+    lagrangian: jnp.ndarray
+    key: Any
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class RCSafetyModuleCostCriticContinuousAction(SafetyModule):
+    constraint_value: float = 0.1
+    lambda_constraint_ub_value: float = 20.0
+    lr_lambda: float = 1e-2
+    cost_discount_factor: float = 0.5
+    critic_learning_rate: float = 1e-3
+    critic_soft_update_tau: float = 0.005
+    critic_hidden_dims: tuple = (64, 64)
+    batch_size: int = 256
+
+    def _critic(self) -> TwinCritic:
+        return TwinCritic(hidden_dims=tuple(self.critic_hidden_dims))
+
+    def optimizer(self):
+        return optax.adamw(self.critic_learning_rate, weight_decay=0.01)
+
+    def init(self, key, observation_dim: int, action_space, num_envs: int):
+        params = self._critic().init(key, observation_dim, action_space.action_dim)
+        return RCSafetyState(
+            critic_params=params,
+            critic_target_params=params,
+            critic_opt=self.optimizer().init(params),
+            lagrangian=jnp.zeros(()),
+            key=jax.random.fold_in(key, 1),
+        )
+
+    def batch_transform(self, state: RCSafetyState):
+        lam = state.lagrangian
+
+        def transform(batch):
+            if batch.cost is None:
+                return batch
+            return batch.replace(reward=batch.reward - lam * batch.cost)
+
+        return transform
+
+    def learn(self, state, buffer, buffer_state, key, learner, learner_state):
+        batch = buffer.sample(buffer_state, key, self.batch_size)
+        if batch.cost is None:
+            return state, {}
+        critic = self._critic()
+        low, high = learner.action_space.low, learner.action_space.high
+        k_pi, k_next = jax.random.split(state.key)
+
+        # Next action from the CURRENT policy (reference :127-142).
+        next_subj = learner.history_summarizer.forward(
+            learner_state.summarizer_params, batch.next_state
+        )
+        next_action, _ = learner.actor.sample_action(
+            learner_state.actor_params, next_subj, k_pi, low, high
+        )
+        q1t, q2t = critic.q_both(state.critic_target_params, next_subj, next_action)
+        # MAX of the twin targets — pessimistic for costs (reference :143-151).
+        q_target = jnp.maximum(q1t, q2t)
+        not_done = 1.0 - batch.terminated.astype(jnp.float32)
+        y = jax.lax.stop_gradient(
+            batch.cost + self.cost_discount_factor * not_done * q_target
+        )
+        subj = learner.history_summarizer.forward(
+            learner_state.summarizer_params, batch.state
+        )
+
+        def loss_fn(params):
+            q1, q2 = critic.q_both(params, subj, batch.action)
+            return (jnp.mean((q1 - y) ** 2) + jnp.mean((q2 - y) ** 2)) / 2.0
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.critic_params)
+        updates, opt = self.optimizer().update(
+            grads, state.critic_opt, state.critic_params
+        )
+        params = optax.apply_updates(state.critic_params, updates)
+        target = jax.tree.map(
+            lambda t, s: t + self.critic_soft_update_tau * (s - t),
+            state.critic_target_params,
+            params,
+        )
+
+        # Lambda update on the max-twin cost estimate (reference :163-199).
+        q1, q2 = critic.q_both(params, subj, batch.action)
+        cost_q = jnp.mean(jnp.maximum(q1, q2))
+        lam = jnp.clip(
+            state.lagrangian
+            + self.lr_lambda
+            * (cost_q * (1.0 - self.cost_discount_factor) - self.constraint_value),
+            0.0,
+            self.lambda_constraint_ub_value,
+        )
+        return (
+            RCSafetyState(
+                critic_params=params,
+                critic_target_params=target,
+                critic_opt=opt,
+                lagrangian=lam,
+                key=k_next,
+            ),
+            {"cost_critic_loss": loss, "lambda": lam},
+        )
