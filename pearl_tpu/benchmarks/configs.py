@@ -1,0 +1,206 @@
+"""Benchmark method registry (reference:
+pearl/utils/scripts/benchmark_config.py:114-1070 — ~40 method dicts).
+
+The reference's untyped method dicts (interpreted by a 200-line builder in
+benchmark.py:121-337) become factory dataclasses: each Method knows how to
+build its agent for a given env. Methods mirror the reference registry:
+DQN / DoubleDQN / SARSA / DuelingDQN / QRDQN / BootstrappedDQN / CQL(DQN) /
+PPO / REINFORCE / SAC / ContinuousSAC / DDPG / TD3 / IQL, plus LSTM-history
+variants."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+from pearl_tpu.agent import PearlAgent
+from pearl_tpu.history_summarization_modules import LSTMHistorySummarization
+from pearl_tpu.neural_networks.q_value_networks import (
+    DuelingQValueNetwork,
+    EnsembleQValueNetwork,
+)
+from pearl_tpu.policy_learners.exploration_modules import EGreedyExploration
+from pearl_tpu.policy_learners.sequential_decision_making import (
+    BootstrappedDQN,
+    ContinuousSoftActorCritic,
+    DeepDeterministicPolicyGradient,
+    DeepQLearning,
+    DeepSARSA,
+    DoubleDQN,
+    ImplicitQLearning,
+    ProximalPolicyOptimization,
+    QuantileRegressionDeepQLearning,
+    REINFORCE,
+    SoftActorCritic,
+    TD3,
+)
+from pearl_tpu.replay_buffers.bootstrap import BootstrapReplayBuffer
+from pearl_tpu.replay_buffers.on_policy import OnPolicyReplayBuffer
+from pearl_tpu.replay_buffers.replay_buffer import BasicReplayBuffer
+from pearl_tpu.replay_buffers.sarsa import SARSAReplayBuffer
+
+
+@dataclasses.dataclass(frozen=True)
+class Method:
+    name: str
+    make_agent: Callable[[int], PearlAgent]  # num_envs -> agent
+    learn_every_k_steps: int = 1
+    learning_starts: int = 1_000
+    continuous: bool = False
+    on_policy_rollout: Optional[int] = None  # rollout steps for on-policy methods
+
+
+_EPS_SCHED = EGreedyExploration(start_epsilon=0.5, end_epsilon=0.05, warmup_steps=20_000)
+_CAP = 50_000
+
+
+def _off_policy(learner_fn, **kw):
+    def make(num_envs: int) -> PearlAgent:
+        return PearlAgent(
+            policy_learner=learner_fn(),
+            replay_buffer=kw.get("buffer_fn", lambda n: BasicReplayBuffer(capacity=_CAP))(
+                num_envs
+            ),
+        )
+
+    return make
+
+
+def _on_policy(learner_fn, rollout: int):
+    def make(num_envs: int) -> PearlAgent:
+        return PearlAgent(
+            policy_learner=learner_fn(),
+            replay_buffer=OnPolicyReplayBuffer(
+                capacity=rollout * num_envs, num_envs=num_envs
+            ),
+        )
+
+    return make
+
+
+METHODS = {
+    "DQN": Method(
+        "DQN",
+        _off_policy(lambda: DeepQLearning(training_rounds=2, batch_size=128,
+                                          exploration=_EPS_SCHED)),
+        learn_every_k_steps=4,
+    ),
+    "DoubleDQN": Method(
+        "DoubleDQN",
+        _off_policy(lambda: DoubleDQN(training_rounds=2, batch_size=128,
+                                      exploration=_EPS_SCHED)),
+        learn_every_k_steps=4,
+    ),
+    "SARSA": Method(
+        "SARSA",
+        _off_policy(
+            lambda: DeepSARSA(training_rounds=2, batch_size=128, exploration=_EPS_SCHED),
+            buffer_fn=lambda n: SARSAReplayBuffer(capacity=_CAP),
+        ),
+        learn_every_k_steps=4,
+    ),
+    "DuelingDQN": Method(
+        "DuelingDQN",
+        _off_policy(
+            lambda: DeepQLearning(
+                q_network=DuelingQValueNetwork(),
+                training_rounds=2,
+                batch_size=128,
+                exploration=_EPS_SCHED,
+            )
+        ),
+        learn_every_k_steps=4,
+    ),
+    "QRDQN": Method(
+        "QRDQN",
+        _off_policy(
+            lambda: QuantileRegressionDeepQLearning(
+                training_rounds=2, batch_size=128, exploration=_EPS_SCHED
+            )
+        ),
+        learn_every_k_steps=4,
+    ),
+    "BootstrappedDQN": Method(
+        "BootstrappedDQN",
+        lambda num_envs: PearlAgent(
+            policy_learner=BootstrappedDQN(training_rounds=2, batch_size=128),
+            replay_buffer=BootstrapReplayBuffer(capacity=_CAP, ensemble_size=10),
+        ),
+        learn_every_k_steps=4,
+    ),
+    "CQL": Method(
+        "CQL",
+        _off_policy(
+            lambda: DeepQLearning(
+                is_conservative=True,
+                conservative_alpha=2.0,
+                training_rounds=2,
+                batch_size=128,
+                exploration=_EPS_SCHED,
+            )
+        ),
+        learn_every_k_steps=4,
+    ),
+    "PPO": Method(
+        "PPO",
+        _on_policy(
+            lambda: ProximalPolicyOptimization(training_rounds=8, batch_size=256),
+            rollout=128,
+        ),
+        learn_every_k_steps=128,
+        learning_starts=0,
+        on_policy_rollout=128,
+    ),
+    "REINFORCE": Method(
+        "REINFORCE",
+        _on_policy(lambda: REINFORCE(), rollout=256),
+        learn_every_k_steps=256,
+        learning_starts=0,
+        on_policy_rollout=256,
+    ),
+    "SAC": Method(
+        "SAC",
+        _off_policy(lambda: SoftActorCritic(training_rounds=1, batch_size=256)),
+        learn_every_k_steps=2,
+    ),
+    "ContinuousSAC": Method(
+        "ContinuousSAC",
+        _off_policy(lambda: ContinuousSoftActorCritic(training_rounds=1, batch_size=256)),
+        continuous=True,
+    ),
+    "DDPG": Method(
+        "DDPG",
+        _off_policy(
+            lambda: DeepDeterministicPolicyGradient(training_rounds=1, batch_size=256)
+        ),
+        continuous=True,
+    ),
+    "TD3": Method(
+        "TD3",
+        _off_policy(lambda: TD3(training_rounds=1, batch_size=256)),
+        continuous=True,
+    ),
+    "IQL": Method(
+        "IQL",
+        _off_policy(lambda: ImplicitQLearning(training_rounds=1, batch_size=256)),
+        continuous=True,
+    ),
+    "LSTMDQN": Method(
+        "LSTMDQN",
+        _off_policy(
+            lambda: DeepQLearning(
+                training_rounds=2,
+                batch_size=128,
+                exploration=_EPS_SCHED,
+                history_summarizer=LSTMHistorySummarization(
+                    history_length=8, hidden_dim=64, num_layers=1
+                ),
+            )
+        ),
+        learn_every_k_steps=4,
+    ),
+}
+
+
+def make_agent(method: Method, num_envs: int) -> PearlAgent:
+    return method.make_agent(num_envs)

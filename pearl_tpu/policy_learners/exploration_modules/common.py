@@ -49,6 +49,21 @@ def masked_argmax(scores: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarr
     return jnp.argmax(scores, axis=-1).astype(jnp.int32)
 
 
+def masked_argmax_random_ties(
+    scores: jnp.ndarray, mask: Optional[jnp.ndarray], key: PRNGKey
+) -> jnp.ndarray:
+    """Argmax with uniform random tie-breaking per row (reference
+    TiebreakingStrategy.PER_ROW, common/tiebreaking_strategy.py +
+    action_utils.py). Essential for tabular/early-training policies where
+    many Q-values are exactly equal."""
+    if mask is not None:
+        scores = jnp.where(mask, scores, -jnp.inf)
+    best = jnp.max(scores, axis=-1, keepdims=True)
+    is_tie = scores == best
+    logits = jnp.where(is_tie, 0.0, -jnp.inf)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
 def _uniform_index(key, batch, num_actions, mask):
     if mask is None:
         return jax.random.randint(key, (batch,), 0, num_actions, dtype=jnp.int32)
