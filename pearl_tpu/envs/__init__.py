@@ -18,6 +18,10 @@ from pearl_tpu.envs.wrappers import (
     SafetyWrapper,
     SparseRewardWrapper,
 )
+from pearl_tpu.envs.misc import (
+    FixedNumberOfStepsEnvironment,
+    MeanVarBanditEnvironment,
+)
 from pearl_tpu.envs.vector import VectorEnv
 
 __all__ = [
@@ -37,5 +41,7 @@ __all__ = [
     "SafetyWrapper",
     "DynamicActionSpaceWrapper",
     "OneHotObservationsFromDiscrete",
+    "MeanVarBanditEnvironment",
+    "FixedNumberOfStepsEnvironment",
     "VectorEnv",
 ]

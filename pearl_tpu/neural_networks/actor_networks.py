@@ -108,6 +108,59 @@ class DynamicActionActorNetwork:
         return jax.nn.softmax(self.logits(params, state, actions, mask), axis=-1)
 
 
+class _CNNLogitsNet(nn.Module):
+    conv: "nn.Module"
+    hidden_dims: Sequence[int]
+    num_actions: int
+
+    @nn.compact
+    def __call__(self, state):
+        feat = self.conv(state)
+        return MLP(hidden_dims=tuple(self.hidden_dims), output_dim=self.num_actions)(feat)
+
+
+@dataclasses.dataclass(frozen=True)
+class CNNActorNetwork:
+    """Softmax policy over image observations (reference CNNActorNetwork,
+    actor_networks.py:180-303). Flattened image states are reshaped to
+    `input_shape` NHWC internally."""
+
+    input_shape: tuple = (84, 84, 4)
+    out_channels: Sequence[int] = (16, 32)
+    kernel_sizes: Sequence[int] = (8, 4)
+    strides: Sequence[int] = (4, 2)
+    paddings: Sequence[int] = (0, 0)
+    hidden_dims: Sequence[int] = (128,)
+
+    def _module(self, num_actions):
+        from pearl_tpu.neural_networks.common import ConvNet
+
+        conv = ConvNet(
+            out_channels=tuple(self.out_channels),
+            kernel_sizes=tuple(self.kernel_sizes),
+            strides=tuple(self.strides),
+            paddings=tuple(self.paddings),
+        )
+        return _CNNLogitsNet(conv, tuple(self.hidden_dims), num_actions)
+
+    def init(self, key, state_dim: int, action_dim: int, num_actions: int):
+        del state_dim, action_dim
+        m = self._module(num_actions)
+        return m.init(key, jnp.zeros((1,) + tuple(self.input_shape)))["params"]
+
+    def logits(self, params, state, actions, mask=None):
+        num_actions = actions.shape[1]
+        m = self._module(num_actions)
+        imgs = state.reshape((state.shape[0],) + tuple(self.input_shape))
+        raw = m.apply({"params": params}, imgs)
+        if mask is not None:
+            raw = jnp.where(mask, raw, -jnp.inf)
+        return raw
+
+    def get_policy_distribution(self, params, state, actions, mask=None):
+        return jax.nn.softmax(self.logits(params, state, actions, mask), axis=-1)
+
+
 class _DeterministicNet(nn.Module):
     hidden_dims: Sequence[int]
     action_dim: int

@@ -104,6 +104,25 @@ class ConvNet(nn.Module):
         return x.reshape(x.shape[:-3] + (-1,))
 
 
+class ResidualWrapper(nn.Module):
+    """x + f(x) (reference common/residual_wrapper.py:14-30)."""
+
+    inner: nn.Module
+
+    @nn.compact
+    def __call__(self, x):
+        return x + self.inner(x)
+
+
+def normalized_softplus(x: jnp.ndarray) -> jnp.ndarray:
+    """softplus(x) / log(2): equals 1 at x=0 (reference NormalizedSoftplus,
+    common/utils.py:20-27)."""
+    return nn.softplus(x) / jnp.log(2.0)
+
+
+ACTIVATIONS["normalized_softplus"] = normalized_softplus
+
+
 def init_params(module: nn.Module, key, *example_inputs, method=None):
     """Initialize a linen module and return its params pytree."""
     variables = module.init(key, *example_inputs, method=method)

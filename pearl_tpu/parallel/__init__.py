@@ -16,5 +16,6 @@ distribution is first-class:
 """
 
 from pearl_tpu.parallel.data_parallel import DataParallelRunner, make_mesh
+from pearl_tpu.parallel import multihost
 
-__all__ = ["DataParallelRunner", "make_mesh"]
+__all__ = ["DataParallelRunner", "make_mesh", "multihost"]

@@ -1,0 +1,80 @@
+"""Risk-sensitive QR-DQN on the mean-variance bandit + transformer summarizer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pearl_tpu.agent import PearlAgent
+from pearl_tpu.envs import MeanVarBanditEnvironment
+from pearl_tpu.history_summarization_modules import TransformerHistorySummarization
+from pearl_tpu.policy_learners.sequential_decision_making import (
+    QuantileRegressionDeepQLearning,
+)
+from pearl_tpu.policy_learners.exploration_modules import EGreedyExploration
+from pearl_tpu.replay_buffers.replay_buffer import BasicReplayBuffer
+from pearl_tpu.safety_modules import (
+    QuantileNetworkMeanVarianceSafetyModule,
+    RiskNeutralSafetyModule,
+)
+from pearl_tpu.training import online_learning
+
+
+def _train_qrdqn(safety, steps=3000):
+    env = MeanVarBanditEnvironment()
+    agent = PearlAgent(
+        policy_learner=QuantileRegressionDeepQLearning(
+            training_rounds=2,
+            batch_size=64,
+            safety=safety,
+            exploration=EGreedyExploration(epsilon=0.3),
+            discount_factor=0.0,  # bandit: single-step episodes
+        ),
+        replay_buffer=BasicReplayBuffer(capacity=2048),
+    )
+    res = online_learning(
+        agent, env, num_envs=8, max_steps=steps * 8, learn_every_k_steps=2,
+        learning_starts=256, seed=0,
+    )
+    learner = agent.for_env(env).policy_learner
+    _, choice = learner.act(
+        res.agent_state.learner, jnp.zeros((16, 1)), None,
+        jax.random.PRNGKey(0), exploit=True,
+    )
+    return np.asarray(choice.index)
+
+
+def test_risk_neutral_prefers_risky_arm():
+    idx = _train_qrdqn(RiskNeutralSafetyModule())
+    assert (idx == 1).mean() > 0.9  # higher mean wins
+
+
+def test_mean_variance_prefers_safe_arm():
+    idx = _train_qrdqn(
+        QuantileNetworkMeanVarianceSafetyModule(variance_weighting_coefficient=0.5)
+    )
+    assert (idx == 0).mean() > 0.9  # variance penalty flips the choice
+
+
+def test_transformer_summarizer_trains():
+    from pearl_tpu.envs import CartPole, PartialObservabilityWrapper
+    from pearl_tpu.policy_learners.sequential_decision_making import DeepQLearning
+
+    env = PartialObservabilityWrapper(env=CartPole(), observed_indices=(0, 2))
+    agent = PearlAgent(
+        policy_learner=DeepQLearning(
+            training_rounds=1,
+            batch_size=16,
+            history_summarizer=TransformerHistorySummarization(
+                history_length=4, dim=16, num_layers=1, num_heads=2
+            ),
+        ),
+        replay_buffer=BasicReplayBuffer(capacity=256),
+    )
+    res = online_learning(
+        agent, env, num_envs=4, max_steps=128, learn_every_k_steps=8,
+        learning_starts=32, seed=0,
+    )
+    ls = res.agent_state.learner
+    assert int(ls.step) > 0
+    leaves = jax.tree.leaves(ls.summarizer_params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
