@@ -217,7 +217,7 @@ class PearlAgent:
         batch_transform = None
         if hasattr(self.safety_module, "batch_transform"):
             batch_transform = self.safety_module.batch_transform(astate.safety)
-        learner_state, metrics = self.policy_learner.learn(
+        learner_state, replay_state, metrics = self.policy_learner.learn(
             astate.learner,
             self.replay_buffer,
             astate.replay,
@@ -235,7 +235,6 @@ class PearlAgent:
                 learner_state,
             )
             metrics = {**metrics, **s_metrics}
-        replay_state = astate.replay
         if self.policy_learner.on_policy:
             replay_state = self.replay_buffer.clear(replay_state)
         return (

@@ -93,4 +93,5 @@ class DisjointBanditContainer(ContextualBanditBase):
         valid = (jnp.arange(n) < buffer_state.size).astype(jnp.float32)
         weight = batch.weight if batch.weight is not None else jnp.ones((n,))
         batch = batch.replace(weight=weight * valid)
-        return self.learn_batch(state, batch)
+        state, metrics = self.learn_batch(state, batch)
+        return state, buffer_state, metrics

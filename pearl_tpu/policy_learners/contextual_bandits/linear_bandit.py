@@ -104,4 +104,5 @@ class LinearBandit(ContextualBanditBase):
         valid = (jnp_.arange(n) < buffer_state.size).astype(jnp_.float32)
         weight = batch.weight if batch.weight is not None else jnp_.ones((n,))
         batch = batch.replace(weight=weight * valid)
-        return self.learn_batch(state, batch)
+        state, metrics = self.learn_batch(state, batch)
+        return state, buffer_state, metrics

@@ -128,23 +128,36 @@ class PolicyLearner(abc.ABC):
         return batch
 
     def learn(self, state, buffer, buffer_state, key: PRNGKey, batch_transform=None):
-        """training_rounds x (sample -> learn_batch) as a lax.scan.
+        """training_rounds x (sample -> learn_batch) as a lax.scan; returns
+        (state', buffer_state', metrics).
 
         `batch_transform` is the safety-module hook: the RC module uses it to
         subtract lambda*cost from rewards before the learner sees the batch
-        (reference actor_critic_base.py:371-386)."""
+        (reference actor_critic_base.py:371-386). Buffers exposing
+        `update_priorities` (prioritized replay) receive per-sample |TD|
+        write-backs each round when the learner reports `per_sample_td`."""
+        prioritized = hasattr(buffer, "update_priorities")
 
-        def round_fn(ls, k):
-            batch = buffer.sample(buffer_state, k, self.batch_size)
+        def round_fn(carry, k):
+            ls, bs = carry
+            if prioritized:
+                batch, sample_idx = buffer.sample_with_indices(bs, k, self.batch_size)
+            else:
+                batch = buffer.sample(bs, k, self.batch_size)
             if batch_transform is not None:
                 batch = batch_transform(batch)
             batch = self.preprocess_batch(ls, batch)
             ls, metrics = self.learn_batch(ls, batch)
-            return ls, metrics
+            if prioritized and "per_sample_td" in metrics:
+                bs = buffer.update_priorities(bs, sample_idx, metrics["per_sample_td"])
+            metrics = {k: v for k, v in metrics.items() if k != "per_sample_td"}
+            return (ls, bs), metrics
 
         keys = jax.random.split(key, self.training_rounds)
-        state, metrics = jax.lax.scan(round_fn, state, keys)
-        return state, jax.tree.map(jnp.mean, metrics)
+        (state, buffer_state), metrics = jax.lax.scan(
+            round_fn, (state, buffer_state), keys
+        )
+        return state, buffer_state, jax.tree.map(jnp.mean, metrics)
 
     def episode_reset(self, state, done_mask: jnp.ndarray, key: PRNGKey):
         return state

@@ -147,6 +147,7 @@ class BootstrappedDQN(DeepTDLearning):
                 jnp.sum(boot_mask, axis=0), 1.0
             )
             loss = jnp.sum(per_member)
-            return loss, jnp.mean(jnp.abs(td))
+            return loss, {"loss": jnp.mean(jnp.abs(td)),
+                          "per_sample_td": jnp.mean(jnp.abs(td), axis=1)}
 
         return self._apply_gradients(state, loss_fn)

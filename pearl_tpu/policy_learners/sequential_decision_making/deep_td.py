@@ -152,7 +152,8 @@ class DeepTDLearning(PolicyLearner):
             )
             target = batch.reward + gamma * (1.0 - batch.terminated.astype(jnp.float32)) * next_v
             td_error = q_sa - target
-            loss = jnp.mean(td_error**2)
+            w = batch.weight if batch.weight is not None else jnp.ones_like(td_error)
+            loss = jnp.sum(w * td_error**2) / jnp.maximum(jnp.sum(w), 1e-8)
             if self.is_conservative:
                 # CQL: logsumexp over available actions minus Q of taken action
                 # (loss_fn_utils.py:18-72).
@@ -163,7 +164,8 @@ class DeepTDLearning(PolicyLearner):
                 )
                 cql = jnp.mean(jax.scipy.special.logsumexp(masked_q, axis=-1) - q_sa)
                 loss = loss + self.conservative_alpha * cql
-            return loss, jnp.mean(jnp.abs(td_error))
+            return loss, {"loss": jnp.mean(jnp.abs(td_error)),
+                          "per_sample_td": jnp.abs(td_error)}
 
         return self._apply_gradients(state, loss_fn)
 
@@ -172,10 +174,17 @@ class DeepTDLearning(PolicyLearner):
         optimizer -> periodic soft target update (deep_td_learning.py:283-291,
         334-361)."""
         trainable = {"q": state.params, "summ": state.summarizer_params}
-        (loss, abs_td), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+        if not isinstance(aux, dict):
+            aux = {"loss": aux}
         if self.pmean_axis is not None:
             grads = jax.lax.pmean(grads, self.pmean_axis)
-            abs_td = jax.lax.pmean(abs_td, self.pmean_axis)
+            # Scalar metrics sync across devices; per-sample TD stays local
+            # (each device owns its replay shard's priorities).
+            aux = {
+                k: (jax.lax.pmean(v, self.pmean_axis) if v.ndim == 0 else v)
+                for k, v in aux.items()
+            }
         updates, opt_state = self.optimizer().update(grads, state.opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         step = state.step + 1
@@ -194,7 +203,7 @@ class DeepTDLearning(PolicyLearner):
             target_params=target_params,
             step=step,
         )
-        return new_state, {"loss": abs_td}
+        return new_state, aux
 
     def episode_reset(self, state, done_mask, key):
         return state.replace(

@@ -148,7 +148,7 @@ class ProximalPolicyOptimization(ActorCriticBase):
 
         keys = jax.random.split(key, self.training_rounds)
         state, metrics = jax.lax.scan(round_fn, state, keys)
-        return state, jax.tree.map(jnp.mean, metrics)
+        return state, buffer_state, jax.tree.map(jnp.mean, metrics)
 
     def _update_minibatch(self, state, mb):
         n = mb["subj"].shape[0]

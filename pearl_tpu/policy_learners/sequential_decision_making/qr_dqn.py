@@ -98,7 +98,7 @@ class QuantileRegressionDeepQLearning(DeepTDLearning):
             loss = jnp.mean(jnp.sum(jnp.mean(weight * huber, axis=2), axis=1))
 
             q_sa = jnp.mean(theta, axis=-1)
-            td_proxy = jnp.mean(jnp.abs(jnp.mean(target, axis=-1) - q_sa))
-            return loss, td_proxy
+            per_sample = jnp.abs(jnp.mean(target, axis=-1) - q_sa)
+            return loss, {"loss": jnp.mean(per_sample), "per_sample_td": per_sample}
 
         return self._apply_gradients(state, loss_fn)

@@ -128,7 +128,7 @@ class REINFORCE(ActorCriticBase):
             critic_opt=critic_opt,
             step=state.step + 1,
         )
-        return state, {"actor_loss": a_loss, "critic_loss": c_loss}
+        return state, buffer_state, {"actor_loss": a_loss, "critic_loss": c_loss}
 
     def learn_batch(self, state, batch):
         raise NotImplementedError("REINFORCE learns from whole rollouts via learn()")

@@ -104,7 +104,8 @@ class TabularQLearning(PolicyLearner):
         batch = batch.replace(weight=weight * valid)
         if batch_transform is not None:
             batch = batch_transform(batch)
-        return self.learn_batch(state, batch)
+        state, metrics = self.learn_batch(state, batch)
+        return state, buffer_state, metrics
 
 
 class DictTabularQLearning:
