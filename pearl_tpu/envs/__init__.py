@@ -18,6 +18,7 @@ from pearl_tpu.envs.wrappers import (
     SafetyWrapper,
     SparseRewardWrapper,
 )
+from pearl_tpu.envs.breakout import Breakout
 from pearl_tpu.envs.misc import (
     FixedNumberOfStepsEnvironment,
     MeanVarBanditEnvironment,
@@ -41,6 +42,7 @@ __all__ = [
     "SafetyWrapper",
     "DynamicActionSpaceWrapper",
     "OneHotObservationsFromDiscrete",
+    "Breakout",
     "MeanVarBanditEnvironment",
     "FixedNumberOfStepsEnvironment",
     "VectorEnv",
