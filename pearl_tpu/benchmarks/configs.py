@@ -204,3 +204,85 @@ METHODS = {
 
 def make_agent(method: Method, num_envs: int) -> PearlAgent:
     return method.make_agent(num_envs)
+
+
+# --- Experiment presets (reference benchmark_config.py:1152-1176) -----------
+# Budgets mirror the reference: classic-control 100k env steps, "mujoco-scale"
+# continuous control 500k, 4 seeds, record every 1000 steps.
+CLASSIC_CONTROL_STEPS = 100_000
+CONTINUOUS_CONTROL_STEPS = 500_000
+NUM_RUNS = 4
+RECORD_PERIOD = 1_000
+
+
+def classic_control_experiments():
+    """Method x env grid for discrete classic control."""
+    from pearl_tpu.envs import Acrobot, CartPole, MountainCar
+
+    return {
+        "methods": [
+            "DQN", "DoubleDQN", "SARSA", "DuelingDQN", "QRDQN",
+            "BootstrappedDQN", "CQL", "PPO", "REINFORCE", "SAC",
+        ],
+        "envs": {
+            "CartPole": CartPole,
+            "Acrobot": Acrobot,
+            "MountainCar": MountainCar,
+        },
+        "max_steps": CLASSIC_CONTROL_STEPS,
+        "num_runs": NUM_RUNS,
+        "record_period": RECORD_PERIOD,
+    }
+
+
+def continuous_control_experiments():
+    from pearl_tpu.envs import ContinuousMountainCar, Pendulum
+
+    return {
+        "methods": ["ContinuousSAC", "DDPG", "TD3", "IQL"],
+        "envs": {
+            "Pendulum": Pendulum,
+            "ContinuousMountainCar": ContinuousMountainCar,
+        },
+        "max_steps": CONTINUOUS_CONTROL_STEPS,
+        "num_runs": NUM_RUNS,
+        "record_period": RECORD_PERIOD,
+    }
+
+
+def cb_benchmark_experiments():
+    """CB methods x envs (reference cb_benchmark_config.py:40-242: SquareCB /
+    FastCB / NeuralLinUCB / NeuralLinTS over UCI datasets; datasets here are
+    local-array classification envs)."""
+    from pearl_tpu.envs import LinearSyntheticBanditEnvironment
+    from pearl_tpu.policy_learners.contextual_bandits import (
+        LinearBandit,
+        NeuralLinearBandit,
+    )
+    from pearl_tpu.policy_learners.exploration_modules.contextual_bandits import (
+        FastCBExploration,
+        SquareCBExploration,
+        ThompsonSamplingExplorationLinear,
+        UCBExploration,
+    )
+
+    return {
+        "methods": {
+            "LinUCB": lambda: LinearBandit(exploration=UCBExploration(alpha=1.0)),
+            "LinTS": lambda: LinearBandit(
+                exploration=ThompsonSamplingExplorationLinear()
+            ),
+            "SquareCB": lambda: LinearBandit(
+                exploration=SquareCBExploration(gamma=10.0)
+            ),
+            "FastCB": lambda: LinearBandit(exploration=FastCBExploration(gamma=10.0)),
+            "NeuralLinUCB": lambda: NeuralLinearBandit(
+                exploration=UCBExploration(alpha=1.0)
+            ),
+            "NeuralLinTS": lambda: NeuralLinearBandit(
+                exploration=ThompsonSamplingExplorationLinear()
+            ),
+        },
+        "envs": {"linear_synthetic": LinearSyntheticBanditEnvironment},
+        "steps": 5_000,
+    }

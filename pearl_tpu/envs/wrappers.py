@@ -134,6 +134,38 @@ class DynamicActionSpaceWrapper(EnvWrapper):
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
+class FlattenObservations(EnvWrapper):
+    """Flatten a pytree/dict observation into one vector (reference
+    FlattenDictObservations, environments.py:169-224). Leaves are flattened
+    and concatenated in pytree order."""
+
+    flat_dim: int = 0  # total flattened dim (required for observation_space)
+
+    @property
+    def observation_space(self):
+        import jax.numpy as _jnp
+
+        return BoxSpace.create(
+            -_jnp.inf * _jnp.ones(self.flat_dim), _jnp.inf * _jnp.ones(self.flat_dim)
+        )
+
+    @staticmethod
+    def _flatten(obs):
+        import jax
+
+        leaves = jax.tree.leaves(obs)
+        return jnp.concatenate([jnp.reshape(l, (-1,)) for l in leaves])
+
+    def reset(self, key):
+        state, obs = self.env.reset(key)
+        return state, self._flatten(obs)
+
+    def step(self, state, action, key):
+        state, result = self.env.step(state, action, key)
+        return state, result.replace(observation=self._flatten(result.observation))
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
 class OneHotObservationsFromDiscrete(EnvWrapper):
     """One-hot a scalar discrete observation (reference environments.py:121-168)."""
 

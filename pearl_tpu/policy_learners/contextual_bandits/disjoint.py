@@ -95,3 +95,9 @@ class DisjointBanditContainer(ContextualBanditBase):
         batch = batch.replace(weight=weight * valid)
         state, metrics = self.learn_batch(state, batch)
         return state, buffer_state, metrics
+
+
+@dataclasses.dataclass(frozen=True, kw_only=True, eq=False)
+class DisjointLinearBandit(DisjointBanditContainer):
+    """Deprecated alias kept for API parity (reference
+    disjoint_linear_bandit.py:35-144 — one LinearRegression per action)."""

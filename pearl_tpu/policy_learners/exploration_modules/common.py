@@ -157,6 +157,23 @@ class NormalDistributionExploration(ExplorationModule):
 
 
 @dataclasses.dataclass(frozen=True)
+class ExplorationModuleWrapper(ExplorationModule):
+    """Delegating base for exploration wrappers (reference
+    exploration_module_wrapper.py:20-52)."""
+
+    base: ExplorationModule = dataclasses.field(default_factory=NoExploration)
+
+    def init(self, num_envs: int):
+        return self.base.init(num_envs)
+
+    def act(self, state, scores, exploit_index, mask, key):
+        return self.base.act(state, scores, exploit_index, mask, key)
+
+    def reset(self, state, done_mask, key):
+        return self.base.reset(state, done_mask, key)
+
+
+@dataclasses.dataclass(frozen=True)
 class Warmup(ExplorationModule):
     """Uniform-random for the first `warmup_steps` env steps, then delegate
     (reference wrappers/warmup.py:26-60)."""

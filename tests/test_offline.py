@@ -96,3 +96,20 @@ def test_offline_iql_continuous():
     assert np.isfinite(
         np.asarray(jax.tree.leaves(astate.learner.extra.value_params)[0])
     ).all()
+
+
+def test_collect_offline_data(tmp_path):
+    from pearl_tpu.training.collect import collect_offline_data
+    from pearl_tpu.policy_learners.sequential_decision_making import DeepQLearning as DQL
+
+    agent = PearlAgent(
+        policy_learner=DQL(training_rounds=1, batch_size=16),
+        replay_buffer=BasicReplayBuffer(capacity=64),
+    )
+    path = str(tmp_path / "collected.npz")
+    batch = collect_offline_data(
+        agent, CartPole(), num_transitions=256, num_envs=8, save_path=path
+    )
+    assert batch.reward.shape[0] == 256
+    buffer, state = get_offline_data_in_buffer(path)
+    assert int(state.size) == 256
