@@ -27,7 +27,7 @@ def main():
     from pearl_tpu.replay_buffers.replay_buffer import BasicReplayBuffer
     from pearl_tpu.training.throughput import make_compiled_runner
 
-    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 1024))
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 2048))
     steps_per_learn = int(os.environ.get("BENCH_STEPS_PER_LEARN", 8))
     learns_per_call = int(os.environ.get("BENCH_LEARNS_PER_CALL", 8))
     calls = int(os.environ.get("BENCH_CALLS", 10))

@@ -95,7 +95,7 @@ METHODS = {
         "SARSA",
         _off_policy(
             lambda: DeepSARSA(training_rounds=2, batch_size=128, exploration=_EPS_SCHED),
-            buffer_fn=lambda n: SARSAReplayBuffer(capacity=_CAP),
+            buffer_fn=lambda n: SARSAReplayBuffer(capacity=_CAP, num_envs=n),
         ),
         learn_every_k_steps=4,
     ),

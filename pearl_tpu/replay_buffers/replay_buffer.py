@@ -77,8 +77,9 @@ class BasicReplayBuffer:
         return jax.tree.map(lambda buf: buf[idx], state.storage)
 
     def clear(self, state: ReplayBufferState) -> ReplayBufferState:
-        return ReplayBufferState(
-            storage=state.storage,
+        # `replace` keeps subclass state fields (pending caches, priorities,
+        # trajectory caches) intact.
+        return state.replace(
             cursor=jnp.zeros((), jnp.int32),
             size=jnp.zeros((), jnp.int32),
         )

@@ -29,6 +29,8 @@ class SARSABufferState(ReplayBufferState):
 
 @dataclasses.dataclass(frozen=True)
 class SARSAReplayBuffer(BasicReplayBuffer):
+    num_envs: int = 1  # per-env pending cache size
+
     def extra_example_fields(self, action_space):
         action_dim = action_space.action_dim
         return {
@@ -38,11 +40,15 @@ class SARSAReplayBuffer(BasicReplayBuffer):
 
     def init(self, example: TransitionBatch) -> SARSABufferState:
         base = super().init(example)
+        pending = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[:1], (self.num_envs,) + x.shape[1:]).copy(),
+            example,
+        )
         return SARSABufferState(
             storage=base.storage,
             cursor=base.cursor,
             size=base.size,
-            pending=example,  # shape (num_envs, ...) once first push arrives
+            pending=pending,
             pending_valid=jnp.zeros((), jnp.bool_),
         )
 
@@ -67,19 +73,21 @@ class SARSAReplayBuffer(BasicReplayBuffer):
         def skip(s):
             return (s.storage, s.cursor, s.size)
 
-        # On the very first push there is no pending batch yet (the reference
-        # cache is empty); afterwards the pending shape matches `batch`.
-        pending_matches = state.pending.reward.shape == batch.reward.shape
-        if not pending_matches:
-            storage, cursor, size = state.storage, state.cursor, state.size
-        else:
-            storage, cursor, size = jax.lax.cond(
-                state.pending_valid, commit, skip, state
-            )
+        # On the very first push there is no valid pending batch yet (the
+        # reference cache is empty): gate the commit on pending_valid.
+        storage, cursor, size = jax.lax.cond(
+            state.pending_valid, commit, skip, state
+        )
+        # Keep pending's pytree structure identical to the example (incoming
+        # agent batches carry next_action=None; fill with placeholders).
+        pending = batch.replace(
+            next_action=jnp.zeros_like(batch.action),
+            next_action_index=jnp.zeros_like(batch.action_index),
+        )
         return SARSABufferState(
             storage=storage,
             cursor=cursor,
             size=size,
-            pending=batch,
+            pending=pending,
             pending_valid=jnp.ones((), jnp.bool_),
         )

@@ -1,0 +1,55 @@
+"""Breadth test mirroring the reference's test_agent.py "build every type of
+agent and run a short loop" (test/unit/with_pytorch/test_agent.py:1198-1231):
+every registry method must train a few steps on its env family and produce a
+finite, checkpoint-roundtrippable state."""
+
+import jax
+import numpy as np
+import pytest
+
+from pearl_tpu.benchmarks.configs import METHODS
+from pearl_tpu.envs import CartPole, Pendulum
+from pearl_tpu.training import online_learning
+from pearl_tpu.utils import tree_allclose
+from pearl_tpu.utils.checkpoint import restore, save
+
+
+@pytest.mark.parametrize("name", sorted(METHODS.keys()))
+def test_method_trains_and_roundtrips(name, tmp_path):
+    method = METHODS[name]
+    env = Pendulum() if method.continuous else CartPole()
+    num_envs = 4
+    agent = method.make_agent(num_envs)
+    rollout = method.on_policy_rollout
+    if rollout is not None:
+        # Shrink on-policy rollouts for test speed.
+        import dataclasses
+
+        from pearl_tpu.replay_buffers.on_policy import OnPolicyReplayBuffer
+
+        rollout = 16
+        agent = dataclasses.replace(
+            agent,
+            replay_buffer=OnPolicyReplayBuffer(
+                capacity=rollout * num_envs, num_envs=num_envs
+            ),
+        )
+    learn_every = rollout if rollout is not None else 8
+    res = online_learning(
+        agent,
+        env,
+        num_envs=num_envs,
+        max_steps=learn_every * num_envs * 3,
+        learn_every_k_steps=learn_every,
+        learning_starts=0 if rollout is not None else 32,
+        seed=0,
+    )
+    state = res.agent_state
+    assert int(state.learner.step) > 0, name
+    for leaf in jax.tree.leaves(state.learner):
+        assert np.isfinite(np.asarray(leaf)).all(), name
+    # Checkpoint round-trip (reference test_serialization.py parity).
+    path = str(tmp_path / "ckpt")
+    save(path, state)
+    restored = restore(path, state)
+    assert tree_allclose(restored.learner, state.learner), name
