@@ -135,8 +135,11 @@ class DictTabularQLearning:
         if not exploit and self._rng.rand() < self.exploration_rate:
             return int(self._rng.randint(num_actions))
         sk = self._key(observation)
-        qs = [self.q_values.get((sk, a), 0.0) for a in range(num_actions)]
-        return int(np.argmax(qs))
+        qs = np.array([self.q_values.get((sk, a), 0.0) for a in range(num_actions)])
+        # Random tie-breaking (reference TiebreakingStrategy): an empty table
+        # must not collapse onto action 0.
+        best = np.flatnonzero(qs == qs.max())
+        return int(best[0] if exploit else self._rng.choice(best))
 
     def learn(self, obs, action, reward, next_obs, terminated, num_actions: int):
         sk, nsk = self._key(obs), self._key(next_obs)

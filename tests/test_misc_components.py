@@ -141,3 +141,20 @@ def test_cb_benchmark_regret_decreases():
     assert out["regret"].shape == (400,)
     # Late regret lower than early regret.
     assert out["regret"][-100:].mean() < out["regret"][:100].mean()
+
+
+def test_host_loop_dict_tabular_on_gym_frozenlake():
+    pytest.importorskip("gymnasium")
+    from pearl_tpu.envs.gym_adapter import GymEnvironment
+    from pearl_tpu.training.host_loop import online_learning_host
+
+    env = GymEnvironment("FrozenLake-v1", render_mode=None)
+    learner = DictTabularQLearning(
+        learning_rate=0.5, discount_factor=0.9, exploration_rate=0.3, seed=0
+    )
+    returns = online_learning_host(env, learner, number_of_episodes=150, seed=0)
+    # Slippery FrozenLake is hard; the learner must at least reach the goal
+    # sometimes and build a nonempty table.
+    assert sum(returns) > 0
+    assert len(learner.q_values) > 0
+    env.close()
