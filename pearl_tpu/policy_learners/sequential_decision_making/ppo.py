@@ -129,7 +129,7 @@ class ProximalPolicyOptimization(ActorCriticBase):
             )
         )
         data = {
-            "subj": subj_flat,
+            "stored": traj.state.reshape(T * B, -1),
             "action_index": action_index_flat,
             "advantage": advantages.reshape(T * B),
             "lam_return": lam_returns.reshape(T * B),
@@ -151,12 +151,14 @@ class ProximalPolicyOptimization(ActorCriticBase):
         return state, buffer_state, jax.tree.map(jnp.mean, metrics)
 
     def _update_minibatch(self, state, mb):
-        n = mb["subj"].shape[0]
+        n = mb["stored"].shape[0]
         candidates = self.represented_candidates(n)
+        summ = self.history_summarizer
 
-        def actor_loss_fn(actor_params):
+        def actor_loss_fn(actor_params, summ_params):
+            subj = summ.forward(summ_params, mb["stored"])
             probs = self.actor.get_policy_distribution(
-                actor_params, mb["subj"], candidates, mb["mask"]
+                actor_params, subj, candidates, mb["mask"]
             )
             logp = jnp.log(
                 jnp.clip(
@@ -178,26 +180,39 @@ class ProximalPolicyOptimization(ActorCriticBase):
                 jnp.minimum(surr1, surr2)
             ) - self.entropy_bonus_scaling * jnp.mean(entropy)
 
-        def critic_loss_fn(critic_params):
-            v = self.critic_network.value(critic_params, mb["subj"])
+        def critic_loss_fn(critic_params, summ_params):
+            subj = summ.forward(summ_params, mb["stored"])
+            v = self.critic_network.value(critic_params, subj)
             return jnp.mean((v - mb["lam_return"]) ** 2)
 
-        a_loss, a_grads = jax.value_and_grad(actor_loss_fn)(state.actor_params)
-        c_loss, c_grads = jax.value_and_grad(critic_loss_fn)(state.critic_params)
+        a_loss, (a_grads, a_summ) = jax.value_and_grad(actor_loss_fn, argnums=(0, 1))(
+            state.actor_params, state.summarizer_params
+        )
+        c_loss, (c_grads, c_summ) = jax.value_and_grad(critic_loss_fn, argnums=(0, 1))(
+            state.critic_params, state.summarizer_params
+        )
+        summ_grads = jax.tree.map(jnp.add, a_summ, c_summ)
         if self.pmean_axis:
-            a_grads, c_grads = jax.lax.pmean((a_grads, c_grads), self.pmean_axis)
+            a_grads, c_grads, summ_grads = jax.lax.pmean(
+                (a_grads, c_grads, summ_grads), self.pmean_axis
+            )
         a_up, actor_opt = self.actor_optimizer().update(
             a_grads, state.actor_opt, state.actor_params
         )
         c_up, critic_opt = self.critic_optimizer().update(
             c_grads, state.critic_opt, state.critic_params
         )
+        s_up, summ_opt = self.summ_optimizer().update(
+            summ_grads, state.summ_opt, state.summarizer_params
+        )
         return (
             state.replace(
                 actor_params=optax.apply_updates(state.actor_params, a_up),
                 critic_params=optax.apply_updates(state.critic_params, c_up),
+                summarizer_params=optax.apply_updates(state.summarizer_params, s_up),
                 actor_opt=actor_opt,
                 critic_opt=critic_opt,
+                summ_opt=summ_opt,
                 step=state.step + 1,
             ),
             {"actor_loss": a_loss, "critic_loss": c_loss},

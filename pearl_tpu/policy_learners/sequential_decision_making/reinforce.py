@@ -89,9 +89,12 @@ class REINFORCE(ActorCriticBase):
         )
         action_index_flat = traj.action_index.reshape(T * B)
 
-        def actor_loss_fn(actor_params):
+        stored_flat = traj.state.reshape(T * B, -1)
+
+        def actor_loss_fn(actor_params, summ_params):
+            subj_g = summ.forward(summ_params, stored_flat)
             probs = self.actor.get_policy_distribution(
-                actor_params, subj_flat, candidates, mask_flat
+                actor_params, subj_g, candidates, mask_flat
             )
             logp = jnp.log(
                 jnp.clip(
@@ -107,25 +110,38 @@ class REINFORCE(ActorCriticBase):
             )
             return -jnp.mean(logp * (returns - baseline))
 
-        def critic_loss_fn(critic_params):
-            v = self.critic_network.value(critic_params, subj_flat)
+        def critic_loss_fn(critic_params, summ_params):
+            subj_g = summ.forward(summ_params, stored_flat)
+            v = self.critic_network.value(critic_params, subj_g)
             return jnp.mean((v - returns) ** 2)
 
-        a_loss, a_grads = jax.value_and_grad(actor_loss_fn)(state.actor_params)
-        c_loss, c_grads = jax.value_and_grad(critic_loss_fn)(state.critic_params)
+        a_loss, (a_grads, a_summ) = jax.value_and_grad(actor_loss_fn, argnums=(0, 1))(
+            state.actor_params, state.summarizer_params
+        )
+        c_loss, (c_grads, c_summ) = jax.value_and_grad(critic_loss_fn, argnums=(0, 1))(
+            state.critic_params, state.summarizer_params
+        )
+        summ_grads = jax.tree.map(jnp.add, a_summ, c_summ)
         if self.pmean_axis:
-            a_grads, c_grads = jax.lax.pmean((a_grads, c_grads), self.pmean_axis)
+            a_grads, c_grads, summ_grads = jax.lax.pmean(
+                (a_grads, c_grads, summ_grads), self.pmean_axis
+            )
         a_up, actor_opt = self.actor_optimizer().update(
             a_grads, state.actor_opt, state.actor_params
         )
         c_up, critic_opt = self.critic_optimizer().update(
             c_grads, state.critic_opt, state.critic_params
         )
+        s_up, summ_opt = self.summ_optimizer().update(
+            summ_grads, state.summ_opt, state.summarizer_params
+        )
         state = state.replace(
             actor_params=optax.apply_updates(state.actor_params, a_up),
             critic_params=optax.apply_updates(state.critic_params, c_up),
+            summarizer_params=optax.apply_updates(state.summarizer_params, s_up),
             actor_opt=actor_opt,
             critic_opt=critic_opt,
+            summ_opt=summ_opt,
             step=state.step + 1,
         )
         return state, buffer_state, {"actor_loss": a_loss, "critic_loss": c_loss}
