@@ -143,10 +143,6 @@ class LinearRegression:
         return mean + delta
 
 
-class _FeatureMLP(MLP):
-    pass
-
-
 @dataclasses.dataclass(frozen=True)
 class NeuralLinearRegression:
     """MLP feature extractor -> LinearRegression head (reference

@@ -40,12 +40,23 @@ class BasicReplayBuffer:
     """
 
     capacity: int = 10_000
+    # Store float leaves in bfloat16 to halve the HBM footprint and push/
+    # sample bandwidth; batches are converted back to float32 on sample.
+    # Observations/rewards at bf16 precision are ample for RL replay.
+    bf16_storage: bool = False
+
+    def _store_dtype(self, dtype):
+        if self.bf16_storage and dtype == jnp.float32:
+            return jnp.bfloat16
+        return dtype
 
     def init(self, example: TransitionBatch) -> ReplayBufferState:
         """`example` is a TransitionBatch with any leading axis (its values are
         only used for shape/dtype)."""
         storage = jax.tree.map(
-            lambda x: jnp.zeros((self.capacity,) + tuple(x.shape[1:]), x.dtype),
+            lambda x: jnp.zeros(
+                (self.capacity,) + tuple(x.shape[1:]), self._store_dtype(x.dtype)
+            ),
             example,
         )
         return ReplayBufferState(
@@ -62,7 +73,9 @@ class BasicReplayBuffer:
         n = batch.reward.shape[0]
         idx = (state.cursor + jnp.arange(n, dtype=jnp.int32)) % self.capacity
         storage = jax.tree.map(
-            lambda buf, val: buf.at[idx].set(val), state.storage, batch
+            lambda buf, val: buf.at[idx].set(val.astype(buf.dtype)),
+            state.storage,
+            batch,
         )
         return ReplayBufferState(
             storage=storage,
@@ -74,7 +87,14 @@ class BasicReplayBuffer:
         self, state: ReplayBufferState, key: PRNGKey, batch_size: int
     ) -> TransitionBatch:
         idx = jax.random.randint(key, (batch_size,), 0, jnp.maximum(state.size, 1))
-        return jax.tree.map(lambda buf: buf[idx], state.storage)
+        return jax.tree.map(
+            lambda buf: (
+                buf[idx].astype(jnp.float32)
+                if buf.dtype == jnp.bfloat16
+                else buf[idx]
+            ),
+            state.storage,
+        )
 
     def clear(self, state: ReplayBufferState) -> ReplayBufferState:
         # `replace` keeps subclass state fields (pending caches, priorities,

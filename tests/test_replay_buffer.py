@@ -69,3 +69,15 @@ def test_push_inside_jit():
 
     state = push(state, make_batch(4))
     assert int(state.size) == 4
+
+
+def test_bf16_storage_roundtrip():
+    buf = BasicReplayBuffer(capacity=16, bf16_storage=True)
+    state = buf.init(make_batch(1))
+    assert state.storage.state.dtype == jnp.bfloat16
+    assert state.storage.action_index.dtype == jnp.int32  # ints untouched
+    state = buf.push(state, make_batch(4, offset=1.0))
+    batch = buf.sample(state, jax.random.PRNGKey(0), 8)
+    assert batch.reward.dtype == jnp.float32  # converted back on sample
+    # bf16 has ~3 decimal digits; small integers are exact.
+    assert set(np.asarray(batch.reward).tolist()).issubset({1.0, 2.0, 3.0, 4.0})
