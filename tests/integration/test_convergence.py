@@ -1,18 +1,18 @@
-"""Convergence tests mirroring the reference's integration suite
-(test/integration/test_integration.py; targets recorded in BASELINE.md).
+"""Convergence tests at the REFERENCE's own integration targets
+(test/integration/test_integration.py; recorded in BASELINE.md):
 
-The reference asserts CartPole return 500 / Pendulum -250 on CI CPUs with
-minute-scale budgets. This container has 2 CPU cores, so by default these
-tests assert the same LEARNING (large, unambiguous improvement toward the
-target) under a bounded step budget; set PEARL_FULL_INTEGRATION=1 to run the
-full reference targets (500 / -250) with the full budgets — the configuration
-used for parity verification on real hardware.
-"""
+- DQN reaches return 500 on CartPole (reference budget <= 1000 episodes)
+- PPO reaches return 500 on CartPole (reference budget <= 1000 episodes)
+- Continuous SAC reaches return -250 on Pendulum (reference budget <= 1500
+  episodes = 300k steps)
 
-import os
+Hyperparameters mirror the reference tests (hidden (64,64), batch sizes,
+learning rates); budgets are expressed in env steps. Measured wall times on
+this 2-core CPU container: ~17s (DQN), ~25s (PPO), ~33s (SAC) — vs ~1.5-10
+min for the reference's step-at-a-time loop on the same machine
+(docs/PARITY.md)."""
 
 import numpy as np
-import pytest
 
 from pearl_tpu.agent import PearlAgent
 from pearl_tpu.envs import CartPole, Pendulum
@@ -26,64 +26,58 @@ from pearl_tpu.replay_buffers.on_policy import OnPolicyReplayBuffer
 from pearl_tpu.replay_buffers.replay_buffer import BasicReplayBuffer
 from pearl_tpu.training import online_learning
 
-FULL = os.environ.get("PEARL_FULL_INTEGRATION") == "1"
+
+def _assert_reached(res, target):
+    assert res.reached_target, (
+        f"last-20 mean return {np.mean(res.episode_returns[-20:]):.1f} "
+        f"did not reach {target} within {res.total_steps} env steps"
+    )
 
 
-def test_dqn_reaches_cartpole_target():
-    target, budget = (500.0, 500_000) if FULL else (400.0, 150_000)
+def test_dqn_reaches_cartpole_500():
     agent = PearlAgent(
         policy_learner=DeepQLearning(
-            training_rounds=2,
+            training_rounds=4,
             batch_size=128,
-            exploration=EGreedyExploration(
-                start_epsilon=0.5, end_epsilon=0.05, warmup_steps=20_000
-            ),
+            exploration=EGreedyExploration(epsilon=0.05),
         ),
-        replay_buffer=BasicReplayBuffer(capacity=50_000),
+        replay_buffer=BasicReplayBuffer(capacity=10_000),
     )
     res = online_learning(
-        agent, CartPole(), num_envs=32, max_steps=budget, learn_every_k_steps=4,
-        learning_starts=2_000, seed=7, target_return=target, target_window=20,
+        agent, CartPole(), num_envs=16, max_steps=250_000, learn_every_k_steps=2,
+        learning_starts=500, seed=42, target_return=500.0, target_window=20,
     )
-    assert res.reached_target, (
-        f"last-20 mean return "
-        f"{np.mean(res.episode_returns[-20:]):.1f} < {target}"
-    )
+    _assert_reached(res, 500.0)
 
 
-def test_ppo_reaches_cartpole_target():
-    target, budget = (500.0, 500_000) if FULL else (350.0, 250_000)
-    num_envs, rollout = 32, 64
+def test_ppo_reaches_cartpole_500():
+    num_envs, rollout = 16, 16
     agent = PearlAgent(
         policy_learner=ProximalPolicyOptimization(
-            training_rounds=8, batch_size=512, actor_learning_rate=3e-4,
-            critic_learning_rate=1e-3, entropy_bonus_scaling=0.01,
+            training_rounds=20, batch_size=64, epsilon=0.1,
+            actor_learning_rate=1e-4, critic_learning_rate=1e-4,
         ),
         replay_buffer=OnPolicyReplayBuffer(
             capacity=rollout * num_envs, num_envs=num_envs
         ),
     )
     res = online_learning(
-        agent, CartPole(), num_envs=num_envs, max_steps=budget,
-        learn_every_k_steps=rollout, seed=3, target_return=target, target_window=20,
+        agent, CartPole(), num_envs=num_envs, max_steps=400_000,
+        learn_every_k_steps=rollout, seed=42, target_return=500.0, target_window=20,
     )
-    assert res.reached_target, (
-        f"last-20 mean return "
-        f"{np.mean(res.episode_returns[-20:]):.1f} < {target}"
-    )
+    _assert_reached(res, 500.0)
 
 
-def test_continuous_sac_improves_pendulum():
-    target, budget = (-250.0, 300_000) if FULL else (-400.0, 80_000)
+def test_continuous_sac_reaches_pendulum_minus_250():
     agent = PearlAgent(
-        policy_learner=ContinuousSoftActorCritic(training_rounds=1, batch_size=256),
-        replay_buffer=BasicReplayBuffer(capacity=50_000),
+        policy_learner=ContinuousSoftActorCritic(
+            training_rounds=2, batch_size=100, entropy_coef=0.1,
+            actor_learning_rate=1e-3, critic_learning_rate=1e-3,
+        ),
+        replay_buffer=BasicReplayBuffer(capacity=100_000),
     )
     res = online_learning(
-        agent, Pendulum(), num_envs=16, max_steps=budget, learn_every_k_steps=1,
-        learning_starts=1_000, seed=3, target_return=target, target_window=20,
+        agent, Pendulum(), num_envs=16, max_steps=300_000, learn_every_k_steps=1,
+        learning_starts=1_000, seed=42, target_return=-250.0, target_window=20,
     )
-    assert res.reached_target, (
-        f"last-20 mean return "
-        f"{np.mean(res.episode_returns[-20:]):.1f} < {target}"
-    )
+    _assert_reached(res, -250.0)
