@@ -1,30 +1,40 @@
 """Convergence tests at the REFERENCE's own integration targets
 (test/integration/test_integration.py; recorded in BASELINE.md):
 
-- DQN reaches return 500 on CartPole (reference budget <= 1000 episodes)
-- PPO reaches return 500 on CartPole (reference budget <= 1000 episodes)
-- Continuous SAC reaches return -250 on Pendulum (reference budget <= 1500
-  episodes = 300k steps)
+CartPole-v1, return 500: DQN, DoubleDQN, SARSA, DuelingDQN, QR-DQN, PPO,
+SAC (discrete), CQL-online, REINFORCE.
+Pendulum-v1, return -250: continuous SAC, DDPG, TD3.
 
-Hyperparameters mirror the reference tests (hidden (64,64), batch sizes,
-learning rates); budgets are expressed in env steps. Measured wall times on
-this 2-core CPU container: ~17s (DQN), ~25s (PPO), ~33s (SAC) — vs ~1.5-10
-min for the reference's step-at-a-time loop on the same machine
-(docs/PARITY.md)."""
+Hyperparameters mirror the reference tests (hidden (64,64), comparable batch
+sizes / learning rates / update-to-data ratios); budgets are in env steps
+(the reference's episode budgets x ~200-500 steps). The full suite finishes
+in ~5 minutes on a 2-core CPU vs hours for the reference's step-at-a-time
+loop (docs/PARITY.md has head-to-head numbers)."""
 
 import numpy as np
 
 from pearl_tpu.agent import PearlAgent
 from pearl_tpu.envs import CartPole, Pendulum
+from pearl_tpu.neural_networks.q_value_networks import DuelingQValueNetwork
 from pearl_tpu.policy_learners.exploration_modules import EGreedyExploration
 from pearl_tpu.policy_learners.sequential_decision_making import (
     ContinuousSoftActorCritic,
+    DeepDeterministicPolicyGradient,
     DeepQLearning,
+    DeepSARSA,
+    DoubleDQN,
     ProximalPolicyOptimization,
+    QuantileRegressionDeepQLearning,
+    REINFORCE,
+    SoftActorCritic,
+    TD3,
 )
 from pearl_tpu.replay_buffers.on_policy import OnPolicyReplayBuffer
 from pearl_tpu.replay_buffers.replay_buffer import BasicReplayBuffer
+from pearl_tpu.replay_buffers.sarsa import SARSAReplayBuffer
 from pearl_tpu.training import online_learning
+
+_EPS = EGreedyExploration(epsilon=0.05)
 
 
 def _assert_reached(res, target):
@@ -34,50 +44,172 @@ def _assert_reached(res, target):
     )
 
 
-def test_dqn_reaches_cartpole_500():
+def _run_cartpole(learner, *, buffer=None, steps=400_000, num_envs=16,
+                  learn_every=2, starts=500, target=500.0):
     agent = PearlAgent(
-        policy_learner=DeepQLearning(
-            training_rounds=4,
-            batch_size=128,
-            exploration=EGreedyExploration(epsilon=0.05),
-        ),
-        replay_buffer=BasicReplayBuffer(capacity=10_000),
+        policy_learner=learner,
+        replay_buffer=buffer or BasicReplayBuffer(capacity=10_000),
     )
     res = online_learning(
-        agent, CartPole(), num_envs=16, max_steps=250_000, learn_every_k_steps=2,
-        learning_starts=500, seed=42, target_return=500.0, target_window=20,
+        agent, CartPole(), num_envs=num_envs, max_steps=steps,
+        learn_every_k_steps=learn_every, learning_starts=starts, seed=42,
+        target_return=target, target_window=20,
     )
-    _assert_reached(res, 500.0)
+    _assert_reached(res, target)
+
+
+def _run_pendulum(learner, *, steps=300_000, target=-250.0):
+    agent = PearlAgent(
+        policy_learner=learner,
+        replay_buffer=BasicReplayBuffer(capacity=100_000),
+    )
+    res = online_learning(
+        agent, Pendulum(), num_envs=16, max_steps=steps, learn_every_k_steps=1,
+        learning_starts=1_000, seed=42, target_return=target, target_window=20,
+    )
+    _assert_reached(res, target)
+
+
+# --------------------------------------------------------------- CartPole 500
+def test_dqn_reaches_cartpole_500():
+    _run_cartpole(
+        DeepQLearning(training_rounds=4, batch_size=128, exploration=_EPS),
+        steps=250_000,
+    )
+
+
+def test_double_dqn_reaches_cartpole_500():
+    _run_cartpole(DoubleDQN(training_rounds=4, batch_size=128, exploration=_EPS))
+
+
+def test_dueling_dqn_reaches_cartpole_500():
+    _run_cartpole(
+        DeepQLearning(
+            q_network=DuelingQValueNetwork(),
+            training_rounds=4,
+            batch_size=128,
+            exploration=_EPS,
+        )
+    )
+
+
+def test_qrdqn_reaches_cartpole_500():
+    _run_cartpole(
+        QuantileRegressionDeepQLearning(
+            training_rounds=4, batch_size=128, exploration=_EPS
+        )
+    )
+
+
+def test_sarsa_reaches_cartpole_500():
+    _run_cartpole(
+        DeepSARSA(training_rounds=4, batch_size=128, exploration=_EPS),
+        buffer=SARSAReplayBuffer(capacity=10_000, num_envs=16),
+    )
+
+
+def test_cql_online_reaches_cartpole_500():
+    _run_cartpole(
+        DeepQLearning(
+            is_conservative=True,
+            conservative_alpha=1.0,
+            training_rounds=4,
+            batch_size=128,
+            exploration=_EPS,
+        )
+    )
+
+
+def test_sac_discrete_reaches_cartpole_500():
+    _run_cartpole(
+        SoftActorCritic(
+            training_rounds=2, batch_size=100, entropy_coef=0.01,
+            entropy_autotune=False, actor_learning_rate=1e-3,
+            critic_learning_rate=1e-3,
+        ),
+        steps=500_000,
+    )
 
 
 def test_ppo_reaches_cartpole_500():
     num_envs, rollout = 16, 16
-    agent = PearlAgent(
-        policy_learner=ProximalPolicyOptimization(
+    _run_cartpole(
+        ProximalPolicyOptimization(
             training_rounds=20, batch_size=64, epsilon=0.1,
             actor_learning_rate=1e-4, critic_learning_rate=1e-4,
         ),
-        replay_buffer=OnPolicyReplayBuffer(
-            capacity=rollout * num_envs, num_envs=num_envs
-        ),
+        buffer=OnPolicyReplayBuffer(capacity=rollout * num_envs, num_envs=num_envs),
+        learn_every=rollout,
+        starts=0,
     )
-    res = online_learning(
-        agent, CartPole(), num_envs=num_envs, max_steps=400_000,
-        learn_every_k_steps=rollout, seed=42, target_return=500.0, target_window=20,
-    )
-    _assert_reached(res, 500.0)
 
 
+def test_reinforce_reaches_cartpole_500():
+    num_envs, rollout = 32, 128
+    _run_cartpole(
+        REINFORCE(actor_learning_rate=1e-3, critic_learning_rate=1e-3),
+        buffer=OnPolicyReplayBuffer(capacity=rollout * num_envs, num_envs=num_envs),
+        num_envs=num_envs,
+        learn_every=rollout,
+        starts=0,
+        steps=3_000_000,  # reference allows 10k episodes for REINFORCE
+    )
+
+
+# ------------------------------------------------------------- Pendulum -250
 def test_continuous_sac_reaches_pendulum_minus_250():
-    agent = PearlAgent(
-        policy_learner=ContinuousSoftActorCritic(
+    _run_pendulum(
+        ContinuousSoftActorCritic(
             training_rounds=2, batch_size=100, entropy_coef=0.1,
             actor_learning_rate=1e-3, critic_learning_rate=1e-3,
+        )
+    )
+
+
+def test_ddpg_reaches_pendulum_minus_250():
+    _run_pendulum(
+        DeepDeterministicPolicyGradient(
+            training_rounds=2, batch_size=100,
+            actor_learning_rate=1e-3, critic_learning_rate=1e-3,
         ),
-        replay_buffer=BasicReplayBuffer(capacity=100_000),
+        steps=200_000,
+    )
+
+
+def test_td3_reaches_pendulum_minus_250():
+    _run_pendulum(
+        TD3(
+            training_rounds=2, batch_size=100,
+            actor_learning_rate=1e-3, critic_learning_rate=1e-3,
+        ),
+        steps=200_000,
+    )
+
+
+# ------------------------------------------------- HER on sparse reach (HER
+# solves the sparse-reward 2-D reach task — reference
+# test_integration_replay_buffer.py:40)
+def test_her_solves_sparse_reach():
+    from pearl_tpu.envs.sparse_reward import DiscreteSparseRewardEnvironment
+    from pearl_tpu.replay_buffers.hindsight import HindsightExperienceReplayBuffer
+
+    env = DiscreteSparseRewardEnvironment(
+        length=50.0, num_actions=8, step_size=4.0, reward_distance=4.0, max_steps=40
+    )
+    agent = PearlAgent(
+        policy_learner=DeepQLearning(
+            training_rounds=4, batch_size=128,
+            exploration=EGreedyExploration(epsilon=0.1),
+        ),
+        replay_buffer=HindsightExperienceReplayBuffer(
+            capacity=100_000, num_envs=16, max_episode_len=40, goal_dim=2
+        ),
     )
     res = online_learning(
-        agent, Pendulum(), num_envs=16, max_steps=300_000, learn_every_k_steps=1,
-        learning_starts=1_000, seed=42, target_return=-250.0, target_window=20,
+        agent, env, num_envs=16, max_steps=150_000, learn_every_k_steps=2,
+        learning_starts=1_000, seed=42,
     )
-    _assert_reached(res, -250.0)
+    r = res.episode_returns
+    success = r > (-40.0 + 0.5)  # reached goal before truncation
+    assert success[-200:].mean() > 0.95, success[-200:].mean()
+    assert success[:200].mean() < success[-200:].mean()
