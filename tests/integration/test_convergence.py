@@ -213,3 +213,50 @@ def test_her_solves_sparse_reach():
     success = r > (-40.0 + 0.5)  # reached goal before truncation
     assert success[-200:].mean() > 0.95, success[-200:].mean()
     assert success[:200].mean() < success[-200:].mean()
+
+
+# --------------------------------------------- offline RL pipeline (reference
+# offline CQL/IQL integration tests train from hosted datasets,
+# test_integration.py:922,982; here the dataset is collected in-process)
+def test_offline_iql_pipeline_pendulum():
+    import jax
+
+    from pearl_tpu.policy_learners.sequential_decision_making import (
+        ImplicitQLearning,
+    )
+    from pearl_tpu.training.collect import collect_offline_data
+    from pearl_tpu.training.offline import offline_evaluation, offline_learning
+
+    env = Pendulum()
+    behavior = PearlAgent(
+        policy_learner=ContinuousSoftActorCritic(
+            training_rounds=2, batch_size=100, entropy_coef=0.1,
+            actor_learning_rate=1e-3, critic_learning_rate=1e-3,
+        ),
+        replay_buffer=BasicReplayBuffer(capacity=100_000),
+    )
+    res = online_learning(
+        behavior, env, num_envs=16, max_steps=100_000, learn_every_k_steps=1,
+        learning_starts=1_000, seed=42, target_return=-250.0, target_window=20,
+    )
+    assert res.reached_target
+
+    batch = collect_offline_data(
+        behavior, env, num_transitions=50_000, num_envs=16,
+        learner_state=res.agent_state.learner, exploit=False, seed=7,
+    )
+    n = batch.reward.shape[0]
+    buffer = BasicReplayBuffer(capacity=n)
+    example = jax.tree.map(lambda x: x[:1] if x is not None else None, batch)
+    buf_state = buffer.push(buffer.init(example), batch)
+    iql_agent = PearlAgent(policy_learner=ImplicitQLearning()).for_env(env)
+    astate = iql_agent.init(
+        jax.random.PRNGKey(0), 3, 1, np.zeros((1, 3), np.float32)
+    )
+    astate = offline_learning(
+        iql_agent, astate, buffer, buf_state,
+        number_of_batches=5_000, batch_size=256, seed=0, log_every=1000,
+    )
+    returns = offline_evaluation(iql_agent, astate, env, num_envs=16, max_steps=40_000)
+    # Far better than a random policy (~-1200) purely from offline data.
+    assert np.mean(returns) > -600.0, np.mean(returns)
