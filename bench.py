@@ -21,6 +21,17 @@ import time
 def main():
     import jax
 
+    # Persistent compilation cache: the fused runner takes minutes to compile
+    # through this container's remote-compile tunnel; cache it across runs.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/pearl_tpu_jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     from pearl_tpu.agent import PearlAgent
     from pearl_tpu.envs import CartPole
     from pearl_tpu.policy_learners.sequential_decision_making import DeepQLearning
