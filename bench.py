@@ -40,7 +40,9 @@ def main():
 
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", 2048))
     steps_per_learn = int(os.environ.get("BENCH_STEPS_PER_LEARN", 8))
-    learns_per_call = int(os.environ.get("BENCH_LEARNS_PER_CALL", 8))
+    # 64 learn-chunks per dispatch: at >30M steps/s a smaller program is
+    # dominated by per-call host->TPU dispatch latency, not device time.
+    learns_per_call = int(os.environ.get("BENCH_LEARNS_PER_CALL", 64))
     calls = int(os.environ.get("BENCH_CALLS", 10))
     capacity = int(os.environ.get("BENCH_CAPACITY", 65_536))
     batch_size = int(os.environ.get("BENCH_BATCH_SIZE", 1024))

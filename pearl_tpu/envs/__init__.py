@@ -19,6 +19,7 @@ from pearl_tpu.envs.wrappers import (
     SparseRewardWrapper,
 )
 from pearl_tpu.envs.breakout import Breakout
+from pearl_tpu.envs.puckworld import PuckWorld
 from pearl_tpu.envs.misc import (
     FixedNumberOfStepsEnvironment,
     MeanVarBanditEnvironment,
@@ -43,6 +44,7 @@ __all__ = [
     "DynamicActionSpaceWrapper",
     "OneHotObservationsFromDiscrete",
     "Breakout",
+    "PuckWorld",
     "MeanVarBanditEnvironment",
     "FixedNumberOfStepsEnvironment",
     "VectorEnv",

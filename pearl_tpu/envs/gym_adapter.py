@@ -22,13 +22,20 @@ from pearl_tpu.api.types import ActionResult
 
 @dataclasses.dataclass(eq=False)
 class GymEnvironment:
-    env_name: str = "CartPole-v1"
+    """`env_name` may also be an already-constructed gymnasium env (e.g. one
+    wrapped by `pearl_tpu.envs.atari.wrap_atari`), mirroring the reference's
+    GymEnvironment(env_or_env_name) signature (gym_environment.py:70-96)."""
+
+    env_name: object = "CartPole-v1"
     render_mode: Optional[str] = None
 
     def __post_init__(self):
-        import gymnasium
+        if isinstance(self.env_name, str):
+            import gymnasium
 
-        self._gym = gymnasium.make(self.env_name, render_mode=self.render_mode)
+            self._gym = gymnasium.make(self.env_name, render_mode=self.render_mode)
+        else:
+            self._gym = self.env_name
 
     @property
     def action_space(self):

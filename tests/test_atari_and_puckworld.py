@@ -1,0 +1,160 @@
+"""Atari preprocessing stack (host wrappers) and pure-JAX PuckWorld.
+
+Reference coverage: pearl/user_envs/wrappers/atari_wrappers.py:31-185 and the
+PLE PuckWorld registration (pearl/user_envs/__init__.py:9-51). The Atari stack
+is tested against a scripted fake ALE-like env (the image has no ROMs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+gymnasium = pytest.importorskip("gymnasium")
+
+from pearl_tpu.envs import PuckWorld, PartialObservabilityWrapper, VectorEnv
+from pearl_tpu.envs.atari import (
+    EpisodicLifeEnv,
+    FireResetEnv,
+    MaxAndSkipEnv,
+    NoopResetEnv,
+    wrap_atari,
+)
+
+
+class FakeALE(gymnasium.Env):
+    """Deterministic fake: obs = frame counter broadcast to (2, 2); 3 lives;
+    life lost every 10 steps; game over after 3 losses. Action 1 is FIRE."""
+
+    def __init__(self):
+        self.observation_space = gymnasium.spaces.Box(0, 255, (2, 2), np.float32)
+        self.action_space = gymnasium.spaces.Discrete(4)
+        self.frame = 0
+        self.lives_left = 3
+        self.calls = {"reset": 0, "step": 0}
+
+    def get_action_meanings(self):
+        return ["NOOP", "FIRE", "LEFT", "RIGHT"]
+
+    def _obs(self):
+        return np.full((2, 2), float(self.frame), np.float32)
+
+    def reset(self, *, seed=None, options=None):
+        super().reset(seed=seed)
+        self.calls["reset"] += 1
+        self.frame = 0
+        self.lives_left = 3
+        return self._obs(), {"lives": self.lives_left}
+
+    def step(self, action):
+        self.calls["step"] += 1
+        self.frame += 1
+        if self.frame % 10 == 0:
+            self.lives_left -= 1
+        terminated = self.lives_left <= 0
+        return self._obs(), 1.0, terminated, False, {"lives": self.lives_left}
+
+
+def test_noop_reset_advances_frames():
+    env = NoopResetEnv(FakeALE(), noop_max=5)
+    obs, _ = env.reset(seed=0)
+    # Between 1 and 5 noop steps were taken after the raw reset.
+    assert 1 <= obs[0, 0] <= 5
+
+
+def test_fire_reset_presses_fire():
+    raw = FakeALE()
+    env = FireResetEnv(raw, fire_action=1)
+    obs, _ = env.reset(seed=0)
+    assert raw.calls["step"] == 1  # exactly one FIRE step
+    assert obs[0, 0] == 1.0
+
+
+def test_max_and_skip_sums_rewards_and_maxes_frames():
+    env = MaxAndSkipEnv(FakeALE(), skip=4)
+    env.reset(seed=0)
+    obs, reward, term, trunc, _ = env.step(0)
+    assert reward == 4.0  # 4 x reward 1
+    assert obs[0, 0] == 4.0  # max of frames 3 and 4
+
+
+def test_episodic_life_terminates_per_life_but_resets_on_game_over():
+    raw = FakeALE()
+    env = EpisodicLifeEnv(raw)
+    env.reset(seed=0)
+    terms = []
+    for _ in range(10):
+        _, _, terminated, _, info = env.step(0)
+        terms.append(bool(terminated))
+    assert terms[-1] and not any(terms[:-1])  # life lost exactly at step 10
+    # reset() after a life loss must NOT reset the emulator (game not over).
+    resets_before = raw.calls["reset"]
+    env.reset()
+    assert raw.calls["reset"] == resets_before
+    # Exhaust remaining lives -> real game over -> real reset.
+    done = False
+    for _ in range(40):
+        _, _, terminated, truncated, _ = env.step(0)
+        if terminated or truncated:
+            if env.was_real_done:
+                done = True
+                break
+            env.reset()
+    assert done
+    env.reset()
+    assert raw.calls["reset"] == resets_before + 1
+
+
+def test_wrap_atari_stack_composes_and_runs():
+    env = wrap_atari(FakeALE(), noop_max=3, skip=2)
+    obs, _ = env.reset(seed=1)
+    assert obs.shape == (2, 2)
+    for _ in range(5):
+        obs, reward, terminated, truncated, _ = env.step(0)
+        if terminated or truncated:
+            env.reset()
+    # FIRE exists in the fake's meanings -> FireResetEnv applied on top.
+    assert isinstance(env, FireResetEnv)
+
+
+def test_puckworld_shapes_and_reward_sign():
+    env = PuckWorld()
+    key = jax.random.PRNGKey(0)
+    state, obs = env.reset(key)
+    assert obs.shape == (8,)
+    state, result = jax.jit(env.step)(state, jnp.array([2]), key)
+    assert result.observation.shape == (8,)
+    assert float(result.reward) <= 0.0  # -distance (+ penalty) is never positive
+    assert not bool(result.terminated)
+
+
+def test_puckworld_agent_moves_and_walls_clamp():
+    env = PuckWorld()
+    state, _ = env.reset(jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(2)
+    step = jax.jit(env.step)
+    for _ in range(200):  # push right long enough to hit the wall
+        state, _ = step(state, jnp.array([2]), key)
+    assert float(state.pos[0]) == 1.0
+    assert float(state.vel[0]) == 0.0  # wall zeroes the velocity component
+
+
+def test_puckworld_good_target_relocates():
+    env = PuckWorld(good_relocate_steps=5, max_steps=100)
+    state, _ = env.reset(jax.random.PRNGKey(3))
+    g0 = np.asarray(state.good)
+    step = jax.jit(env.step)
+    for i in range(5):
+        state, _ = step(state, jnp.array([0]), jax.random.PRNGKey(10 + i))
+    assert not np.allclose(np.asarray(state.good), g0)
+
+
+def test_puckworld_vectorizes_and_partial_obs():
+    env = PartialObservabilityWrapper(PuckWorld(), observed_indices=(0, 1, 4, 5, 6, 7))
+    venv = VectorEnv(env, 8)
+    states, obs = venv.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (8, 6)
+    states, result, next_obs = venv.step(
+        states, jnp.zeros((8, 1), jnp.int32), jax.random.PRNGKey(1)
+    )
+    assert next_obs.shape == (8, 6)
+    assert result.reward.shape == (8,)
