@@ -8,14 +8,28 @@ distribution is first-class:
 - `data` mesh axis: env shards + replay shards per device, learner replicated,
   gradients (and LinUCB A/b statistics, which are additive) synchronized with
   `psum`/`pmean` over ICI.
+- `model` mesh axis (ensemble_parallel): the K-member Q-ensemble of
+  BootstrappedDQN sharded member-wise on a 2-D (data, model) mesh with pure
+  sharding annotations — the one weight axis in this workload family that
+  meaningfully shards.
 - Strategy applicability for this workload (RL agents over small MLPs):
   DP is the scaling axis that matters; TP of the tiny actor/critic MLPs and
-  PP/EP/SP are intentionally out of scope (documented non-goals per
+  PP/SP are intentionally out of scope (documented non-goals per
   SURVEY.md §2.11 — there is no model large enough to shard and no sequence
   longer than the 8-step history window).
 """
 
 from pearl_tpu.parallel.data_parallel import DataParallelRunner, make_mesh
+from pearl_tpu.parallel.ensemble_parallel import (
+    make_2d_mesh,
+    make_ensemble_sharded_learn_batch,
+)
 from pearl_tpu.parallel import multihost
 
-__all__ = ["DataParallelRunner", "make_mesh", "multihost"]
+__all__ = [
+    "DataParallelRunner",
+    "make_mesh",
+    "make_2d_mesh",
+    "make_ensemble_sharded_learn_batch",
+    "multihost",
+]

@@ -65,3 +65,75 @@ def online_learning_host(
             run_episode_host(env, learner, learn=learn, seed=seed + ep)
         )
     return returns
+
+
+def agent_online_learning_host(
+    agent,
+    env,
+    *,
+    max_steps: int = 100_000,
+    learn_every_k_steps: int = 4,
+    learning_starts: int = 0,
+    seed: int = 0,
+    exploit: bool = False,
+    learn: bool = True,
+    verbose: bool = False,
+) -> List[float]:
+    """Full PearlAgent (device-side, jitted) driving a HOST environment —
+    the standard Atari topology: emulator on host, act/observe/learn compiled
+    on the accelerator with a batch axis of 1 (reference equivalent:
+    online_learning over GymEnvironment, online_learning.py:72-166).
+
+    For on-device envs use `pearl_tpu.training.online_learning`, which is
+    orders of magnitude faster; this loop pays one host round-trip per step
+    by construction. Returns per-episode returns in finish order.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    agent = agent.for_env(env)
+    act_fn = jax.jit(agent.act, static_argnames=("exploit",))
+    observe_fn = jax.jit(agent.observe)
+    learn_fn = jax.jit(agent.learn)
+
+    key = jax.random.PRNGKey(seed)
+    key, k_init = jax.random.split(key)
+    env_state, obs = env.reset(seed=seed) if hasattr(env, "_gym") else env.reset(k_init)
+    obs = jnp.asarray(obs, jnp.float32).reshape(-1)
+    astate = agent.init(k_init, obs.shape[0], 1, obs[None])
+
+    returns: List[float] = []
+    ep_ret = 0.0
+    for step in range(max_steps):
+        key, k_act, k_env, k_obs, k_learn = jax.random.split(key, 5)
+        astate, choice = act_fn(astate, k_act, exploit=exploit)
+        action = np.asarray(choice.action[0])
+        env_state, result = env.step(env_state, action, k_env) if not hasattr(
+            env, "_gym"
+        ) else env.step(env_state, action)
+        next_obs = jnp.asarray(result.observation, jnp.float32).reshape(-1)
+        batched = jax.tree.map(
+            lambda x: None if x is None else jnp.asarray(x)[None],
+            result,
+            is_leaf=lambda x: x is None,
+        )
+        astate = observe_fn(astate, batched, next_obs[None], k_obs)
+        ep_ret += float(result.reward)
+        done = bool(result.terminated) or bool(result.truncated)
+        if done:
+            returns.append(ep_ret)
+            if verbose:
+                print(f"step={step} episode={len(returns)} return={ep_ret:.1f}")
+            ep_ret = 0.0
+            env_state, obs = (
+                env.reset(seed=seed + len(returns))
+                if hasattr(env, "_gym")
+                else env.reset(jax.random.fold_in(key, len(returns)))
+            )
+        if (
+            learn
+            and step >= learning_starts
+            and (step + 1) % learn_every_k_steps == 0
+        ):
+            astate, _ = learn_fn(astate, k_learn)
+    return returns

@@ -30,31 +30,74 @@ class OnlineResult:
     agent_state: AgentState
     env_states: object
     reached_target: bool = False
+    # Safety metrics, aligned with episode_returns (reference run_episode's
+    # `return_cost` / `risky_sa_ratio` info dict, online_learning.py:312-321).
+    # All-zero when the env emits no cost.
+    episode_costs: np.ndarray = None
+    episode_risky_ratios: np.ndarray = None
 
 
-def _make_chunk_fn(agent: PearlAgent, venv: VectorEnv, steps_per_chunk: int, do_learn: bool, exploit: bool):
+def _make_chunk_fn(
+    agent: PearlAgent,
+    venv: VectorEnv,
+    steps_per_chunk: int,
+    do_learn: bool,
+    exploit: bool,
+    chunks_per_dispatch: int = 1,
+):
     def env_step(carry, k):
-        astate, env_states, ep_ret = carry
+        astate, env_states, ep_ret, ep_cost, ep_risky, ep_len = carry
         k_act, k_env, k_obs = jax.random.split(k, 3)
         astate, choice = agent.act(astate, k_act, exploit=exploit)
         env_states, result, next_obs = venv.step(env_states, choice.action, k_env)
         astate = agent.observe(astate, result, next_obs, k_obs)
         ep_ret = ep_ret + result.reward
-        out = (result.done, ep_ret)
-        ep_ret = jnp.where(result.done, 0.0, ep_ret)
-        return (astate, env_states, ep_ret), out
+        cost = result.cost if result.cost is not None else jnp.zeros_like(result.reward)
+        risky = result.info["risky_sa"] if "risky_sa" in result.info else (cost != 0)
+        ep_cost = ep_cost + cost
+        ep_risky = ep_risky + risky.astype(jnp.float32)
+        ep_len = ep_len + 1.0
+        out = (result.done, ep_ret, ep_cost, ep_risky / jnp.maximum(ep_len, 1.0))
+        reset = result.done
+        ep_ret = jnp.where(reset, 0.0, ep_ret)
+        ep_cost = jnp.where(reset, 0.0, ep_cost)
+        ep_risky = jnp.where(reset, 0.0, ep_risky)
+        ep_len = jnp.where(reset, 0.0, ep_len)
+        return (astate, env_states, ep_ret, ep_cost, ep_risky, ep_len), out
+
+    def one_chunk(carry, key):
+        astate, env_states, ep_ret, (ep_cost, ep_risky, ep_len) = carry
+        keys = jax.random.split(key, steps_per_chunk + 1)
+        (astate, env_states, ep_ret, ep_cost, ep_risky, ep_len), outs = jax.lax.scan(
+            env_step, (astate, env_states, ep_ret, ep_cost, ep_risky, ep_len), keys[:-1]
+        )
+        dones, ep_returns, ep_costs, risky_ratios = outs
+        if do_learn:
+            astate, _metrics = agent.learn(astate, keys[-1])
+        # Pack every host-bound statistic into ONE array: the host loop pays
+        # one device->host fetch per dispatch instead of four (each fetch is
+        # a full round-trip; see docs/DESIGN.md §4 on dispatch latency).
+        stats = jnp.stack(
+            [dones.astype(jnp.float32), ep_returns, ep_costs, risky_ratios]
+        )
+        return (astate, env_states, ep_ret, (ep_cost, ep_risky, ep_len)), stats
 
     @jax.jit
-    def run_chunk(astate, env_states, ep_ret, key):
-        keys = jax.random.split(key, steps_per_chunk + 1)
-        (astate, env_states, ep_ret), (dones, ep_returns) = jax.lax.scan(
-            env_step, (astate, env_states, ep_ret), keys[:-1]
+    def run_chunk(astate, env_states, ep_ret, ep_aux, key):
+        if chunks_per_dispatch == 1:
+            # Feed the dispatch key straight through so the RNG stream (and
+            # therefore every seed-pinned learning curve) is identical to the
+            # unbatched driver.
+            carry, stats = one_chunk((astate, env_states, ep_ret, ep_aux), key)
+            astate, env_states, ep_ret, ep_aux = carry
+            return astate, env_states, ep_ret, ep_aux, stats
+        keys = jax.random.split(key, chunks_per_dispatch)
+        (astate, env_states, ep_ret, ep_aux), stats = jax.lax.scan(
+            one_chunk, (astate, env_states, ep_ret, ep_aux), keys
         )
-        if do_learn:
-            astate, metrics = agent.learn(astate, keys[-1])
-        else:
-            metrics = {}
-        return astate, env_states, ep_ret, dones, ep_returns, metrics
+        # (C, 4, steps, B) -> (4, C*steps, B): chunk-order-preserving flatten.
+        stats = jnp.swapaxes(stats, 0, 1).reshape(4, -1, stats.shape[-1])
+        return astate, env_states, ep_ret, ep_aux, stats
 
     return run_chunk
 
@@ -66,6 +109,7 @@ def online_learning(
     num_envs: int = 16,
     max_steps: int = 100_000,
     learn_every_k_steps: int = 1,
+    chunks_per_dispatch: int = 1,
     learning_starts: int = 0,
     seed: int = 0,
     target_return: Optional[float] = None,
@@ -78,7 +122,13 @@ def online_learning(
 ) -> OnlineResult:
     """Run vectorized online learning until `max_steps` total env steps or the
     moving-average episode return over the last `target_window` finished
-    episodes reaches `target_return`."""
+    episodes reaches `target_return`.
+
+    `chunks_per_dispatch` fuses that many (env-rollout + learn) chunks into
+    one compiled dispatch (the reference's `record_period` analog,
+    online_learning.py:110-135): raise it when host dispatch latency
+    dominates (e.g. 16+ on TPU); early stopping then has dispatch
+    granularity."""
     agent = agent.for_env(env)
     venv = VectorEnv(env, num_envs)
     key = jax.random.PRNGKey(seed)
@@ -110,41 +160,67 @@ def online_learning(
                 ),
             )
 
-    run_chunk = _make_chunk_fn(agent, venv, learn_every_k_steps, learn, exploit)
+    run_chunk = _make_chunk_fn(
+        agent, venv, learn_every_k_steps, learn, exploit, chunks_per_dispatch
+    )
     warm_chunk = (
-        _make_chunk_fn(agent, venv, learn_every_k_steps, False, exploit)
+        _make_chunk_fn(
+            agent, venv, learn_every_k_steps, False, exploit, chunks_per_dispatch
+        )
         if learning_starts > 0
         else None
     )
 
     ep_ret = jnp.zeros((num_envs,))
+    ep_aux = (jnp.zeros((num_envs,)), jnp.zeros((num_envs,)), jnp.zeros((num_envs,)))
     finished: list = []
+    finished_costs: list = []
+    finished_risky: list = []
     total = 0
     reached = False
-    while total < max_steps:
-        key, k = jax.random.split(key)
-        chunk = warm_chunk if (warm_chunk is not None and total < learning_starts) else run_chunk
-        agent_state, env_states, ep_ret, dones, ep_returns, _ = chunk(
-            agent_state, env_states, ep_ret, k
-        )
-        total += learn_every_k_steps * num_envs
-        d = np.asarray(dones).reshape(-1)
-        r = np.asarray(ep_returns).reshape(-1)
-        finished.extend(r[d].tolist())
+
+    def consume(stats_dev, steps_done):
+        """Fetch one chunk's packed stats and fold finished episodes in."""
+        nonlocal reached
+        stats = np.asarray(stats_dev)
+        d = stats[0].reshape(-1) > 0.5
+        finished.extend(stats[1].reshape(-1)[d].tolist())
+        finished_costs.extend(stats[2].reshape(-1)[d].tolist())
+        finished_risky.extend(stats[3].reshape(-1)[d].tolist())
         if verbose and finished:
             window = finished[-target_window:]
             print(
-                f"steps={total} episodes={len(finished)} "
+                f"steps={steps_done} episodes={len(finished)} "
                 f"avg_return={np.mean(window):.1f}"
             )
         if target_return is not None and len(finished) >= target_window:
             if np.mean(finished[-target_window:]) >= target_return:
                 reached = True
-                break
+
+    # Read-behind pipeline: dispatch chunk i+1 before fetching chunk i's
+    # stats, so the (async-dispatched) device program runs while the host
+    # blocks on the previous chunk's single stats transfer. Early stopping
+    # therefore lags one chunk — the extra chunk's episodes are still folded
+    # into the result below.
+    pending = None  # (stats_device_array, total_steps_after_that_chunk)
+    while total < max_steps and not reached:
+        key, k = jax.random.split(key)
+        chunk = warm_chunk if (warm_chunk is not None and total < learning_starts) else run_chunk
+        agent_state, env_states, ep_ret, ep_aux, stats_dev = chunk(
+            agent_state, env_states, ep_ret, ep_aux, k
+        )
+        total += learn_every_k_steps * num_envs * chunks_per_dispatch
+        if pending is not None:
+            consume(*pending)
+        pending = (stats_dev, total)
+    if pending is not None:
+        consume(*pending)
     return OnlineResult(
         episode_returns=np.asarray(finished),
         total_steps=total,
         agent_state=agent_state,
         env_states=env_states,
         reached_target=reached,
+        episode_costs=np.asarray(finished_costs),
+        episode_risky_ratios=np.asarray(finished_risky),
     )

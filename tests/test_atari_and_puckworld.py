@@ -158,3 +158,33 @@ def test_puckworld_vectorizes_and_partial_obs():
     )
     assert next_obs.shape == (8, 6)
     assert result.reward.shape == (8,)
+
+
+def test_agent_host_loop_runs_gym_and_device_envs():
+    """agent_online_learning_host: full PearlAgent (jitted, batch=1) driving a
+    host env — the Atari topology. Exercised on the Gymnasium adapter and on
+    a pure-JAX env through the same code path."""
+    from pearl_tpu.agent import PearlAgent
+    from pearl_tpu.envs import CartPole
+    from pearl_tpu.envs.gym_adapter import GymEnvironment
+    from pearl_tpu.policy_learners.sequential_decision_making import DeepQLearning
+    from pearl_tpu.replay_buffers.replay_buffer import BasicReplayBuffer
+    from pearl_tpu.training import agent_online_learning_host
+
+    def make_agent():
+        return PearlAgent(
+            policy_learner=DeepQLearning(training_rounds=1, batch_size=16),
+            replay_buffer=BasicReplayBuffer(capacity=512),
+        )
+
+    rets = agent_online_learning_host(
+        make_agent(), GymEnvironment("CartPole-v1"),
+        max_steps=300, learn_every_k_steps=8, learning_starts=32, seed=0,
+    )
+    assert len(rets) >= 1 and all(r >= 1.0 for r in rets)
+
+    rets2 = agent_online_learning_host(
+        make_agent(), CartPole(),
+        max_steps=300, learn_every_k_steps=8, learning_starts=32, seed=0,
+    )
+    assert len(rets2) >= 1

@@ -38,3 +38,27 @@ def test_rc_safety_module_learns_lambda():
     # Costs were stored in replay.
     costs = np.asarray(res.agent_state.replay.storage.cost)
     assert costs.max() > 0.0
+
+
+def test_online_learning_reports_cost_and_risky_metrics():
+    """Reference run_episode returns `return_cost` and `risky_sa_ratio`
+    (online_learning.py:312-321); our OnlineResult carries them per episode."""
+    import numpy as np
+    from pearl_tpu.envs import CartPole, SafetyWrapper
+    from pearl_tpu.policy_learners.sequential_decision_making import DeepQLearning
+    from pearl_tpu.replay_buffers.replay_buffer import BasicReplayBuffer
+    from pearl_tpu.training import online_learning
+
+    # Risky whenever the cart is right of center.
+    env = SafetyWrapper(CartPole(), risky_fn=lambda obs, a: obs[0] > 0.0)
+    agent = PearlAgent(
+        policy_learner=DeepQLearning(training_rounds=1, batch_size=32),
+        replay_buffer=BasicReplayBuffer(capacity=2048),
+    )
+    res = online_learning(agent, env, num_envs=8, max_steps=4_000, seed=3)
+    assert len(res.episode_costs) == len(res.episode_returns) > 0
+    assert len(res.episode_risky_ratios) == len(res.episode_returns)
+    # Ratios are valid probabilities and costs equal risky-step counts here.
+    assert np.all(res.episode_risky_ratios >= 0.0)
+    assert np.all(res.episode_risky_ratios <= 1.0)
+    assert res.episode_costs.sum() > 0  # some states were right of center
