@@ -48,6 +48,7 @@ class Method:
     learning_starts: int = 1_000
     continuous: bool = False
     on_policy_rollout: Optional[int] = None  # rollout steps for on-policy methods
+    env_family: str = "classic"  # classic | continuous | visual
 
 
 _EPS_SCHED = EGreedyExploration(start_epsilon=0.5, end_epsilon=0.05, warmup_steps=20_000)
@@ -199,7 +200,84 @@ METHODS = {
         ),
         learn_every_k_steps=4,
     ),
+    # --- Variant rows mirroring the reference's LSTM / CNN / BC / dynamic
+    # method dicts (benchmark_config.py LSTM_method_* :266-520, Atari
+    # *_Atari_method :1462+, TD3BC in benchmark_offline_rl.py) -------------
+    "TD3BC": Method(
+        "TD3BC",
+        _off_policy(
+            lambda: _td3bc()
+        ),
+        continuous=True,
+        env_family="continuous",
+    ),
+    "LSTMPPO": Method(
+        "LSTMPPO",
+        _on_policy(
+            lambda: ProximalPolicyOptimization(
+                training_rounds=20,
+                batch_size=64,
+                epsilon=0.1,
+                actor_learning_rate=1e-4,
+                critic_learning_rate=1e-4,
+                history_summarizer=LSTMHistorySummarization(
+                    history_length=8, hidden_dim=64, num_layers=1
+                ),
+            ),
+            rollout=16,
+        ),
+        on_policy_rollout=16,
+    ),
+    "LSTMSAC": Method(
+        "LSTMSAC",
+        _off_policy(
+            lambda: SoftActorCritic(
+                training_rounds=2,
+                batch_size=100,
+                entropy_coef=0.01,
+                entropy_autotune=False,
+                actor_learning_rate=1e-3,
+                critic_learning_rate=1e-3,
+                history_summarizer=LSTMHistorySummarization(
+                    history_length=8, hidden_dim=64, num_layers=1
+                ),
+            )
+        ),
+        learn_every_k_steps=4,
+    ),
+    "CNNDQN": Method(
+        "CNNDQN",
+        _off_policy(lambda: _cnn_dqn()),
+        learn_every_k_steps=4,
+        env_family="visual",
+    ),
 }
+
+
+def _td3bc():
+    from pearl_tpu.policy_learners.sequential_decision_making import TD3BC
+
+    return TD3BC(training_rounds=1, batch_size=256)
+
+
+def _cnn_dqn():
+    """Breakout-scale CNN DQN (the on-device stand-in for the reference's
+    Atari methods; pair with pearl_tpu.envs.Breakout)."""
+    from pearl_tpu.neural_networks.q_value_networks import CNNQValueNetwork
+
+    return DeepQLearning(
+        q_network=CNNQValueNetwork(
+            input_shape=(10, 10, 4),
+            out_channels=(16, 32),
+            kernel_sizes=(3, 3),
+            strides=(1, 1),
+            paddings=(1, 1),
+            hidden_dims=(128,),
+        ),
+        training_rounds=1,
+        batch_size=512,
+        exploration=_EPS_SCHED,
+    )
 
 
 def make_agent(method: Method, num_envs: int) -> PearlAgent:

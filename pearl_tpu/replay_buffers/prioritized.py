@@ -54,13 +54,16 @@ class PrioritizedReplayBuffer(BasicReplayBuffer):
         key: Optional[PRNGKey] = None,
     ) -> PrioritizedBufferState:
         n = batch.reward.shape[0]
-        idx = (state.cursor + jnp.arange(n, dtype=jnp.int32)) % self.capacity
+        # Same bump-ring start rule as the base storage write.
+        start = jnp.where(state.cursor + n <= self.capacity, state.cursor, 0)
         base = super().push(
             ReplayBufferState(storage=state.storage, cursor=state.cursor, size=state.size),
             batch,
         )
         max_p = jnp.maximum(jnp.max(state.priorities), 1.0)
-        priorities = state.priorities.at[idx].set(max_p)
+        priorities = jax.lax.dynamic_update_slice_in_dim(
+            state.priorities, jnp.full((n,), max_p), start, axis=0
+        )
         return PrioritizedBufferState(
             storage=base.storage,
             cursor=base.cursor,

@@ -70,48 +70,32 @@ class BasicReplayBuffer:
     ) -> ReplayBufferState:
         """Write a batch of transitions (leading axis = N) at the cursor.
 
-        Fast path: when the write does not wrap around the ring end, it is a
-        single contiguous `dynamic_update_slice` per leaf — on TPU that is a
-        vectorized copy, vs a general scatter which the XLA TPU backend
-        serializes row-by-row. Whenever `capacity % N == 0` (every production
-        config: pushes always carry the full env batch) the cursor stays
-        N-aligned and the scatter branch is never taken at runtime. The
-        branch must stay a runtime `lax.cond` (not a static shortcut): mixed
-        push sizes can misalign the cursor, and `dynamic_update_slice` clamps
-        out-of-range starts, which would silently corrupt the ring.
+        Bump-ring design: the batch is always written as ONE contiguous
+        `dynamic_update_slice` — on TPU a vectorized copy, vs a general
+        scatter which the XLA TPU backend serializes row-by-row (the original
+        6M->32M steps/s bottleneck). If the batch would not fit before the
+        ring end, the write restarts at slot 0 instead of wrapping mid-batch
+        (a scalar `where`, no `lax.cond`, no scatter — profiling showed the
+        cond alone cost ~28% of the fused step). Whenever `capacity % N == 0`
+        — every production config — this is bit-identical to a classic ring.
+        With non-dividing sizes the effective capacity rounds down to the
+        last batch that fits; `size` is therefore a high-water mark of the
+        written extent, so never-written tail slots are never sampled.
         """
         del key
         n = batch.reward.shape[0]
-
-        def _contiguous(operand):
-            storage, val = operand
-            return jax.tree.map(
-                lambda buf, v: jax.lax.dynamic_update_slice_in_dim(
-                    buf, v.astype(buf.dtype), state.cursor, axis=0
-                ),
-                storage,
-                val,
-            )
-
-        def _wrapping(operand):
-            storage, val = operand
-            idx = (state.cursor + jnp.arange(n, dtype=jnp.int32)) % self.capacity
-            return jax.tree.map(
-                lambda buf, v: buf.at[idx].set(v.astype(buf.dtype)),
-                storage,
-                val,
-            )
-
-        storage = jax.lax.cond(
-            state.cursor + n <= self.capacity,
-            _contiguous,
-            _wrapping,
-            (state.storage, batch),
+        start = jnp.where(state.cursor + n <= self.capacity, state.cursor, 0)
+        storage = jax.tree.map(
+            lambda buf, v: jax.lax.dynamic_update_slice_in_dim(
+                buf, v.astype(buf.dtype), start, axis=0
+            ),
+            state.storage,
+            batch,
         )
         return ReplayBufferState(
             storage=storage,
-            cursor=(state.cursor + n) % self.capacity,
-            size=jnp.minimum(state.size + n, self.capacity),
+            cursor=(start + n) % self.capacity,
+            size=jnp.maximum(state.size, start + n),
         )
 
     def sample(

@@ -17,7 +17,12 @@ from pearl_tpu.utils.checkpoint import restore, save
 @pytest.mark.parametrize("name", sorted(METHODS.keys()))
 def test_method_trains_and_roundtrips(name, tmp_path):
     method = METHODS[name]
-    env = Pendulum() if method.continuous else CartPole()
+    if method.env_family == "visual":
+        from pearl_tpu.envs import Breakout
+
+        env = Breakout()
+    else:
+        env = Pendulum() if method.continuous else CartPole()
     num_envs = 4
     agent = method.make_agent(num_envs)
     rollout = method.on_policy_rollout

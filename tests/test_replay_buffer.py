@@ -28,17 +28,34 @@ def test_push_and_size():
     assert int(state.size) == 7
 
 
-def test_ring_wraparound():
+def test_ring_wraparound_divisible():
+    """capacity % N == 0 (every production config): exact FIFO ring."""
     buf = BasicReplayBuffer(capacity=4)
     state = buf.init(make_batch(1))
-    state = buf.push(state, make_batch(3, offset=0.0))
-    state = buf.push(state, make_batch(3, offset=10.0))
+    state = buf.push(state, make_batch(2, offset=0.0))  # slots 0,1 <- 0,1
+    state = buf.push(state, make_batch(2, offset=10.0))  # slots 2,3 <- 10,11
+    state = buf.push(state, make_batch(2, offset=20.0))  # wraps: 0,1 <- 20,21
     assert int(state.size) == 4
     assert int(state.cursor) == 2
-    # Slots 3, 0, 1 hold the new transitions (10, 11, 12), slot 2 the old (2).
     rewards = np.asarray(state.storage.reward)
-    assert rewards[3] == 10.0 and rewards[0] == 11.0 and rewards[1] == 12.0
-    assert rewards[2] == 2.0
+    assert rewards[0] == 20.0 and rewards[1] == 21.0
+    assert rewards[2] == 10.0 and rewards[3] == 11.0
+
+
+def test_ring_wraparound_non_divisible_restarts_at_zero():
+    """Bump-ring contract: a batch that does not fit before the ring end is
+    written from slot 0 instead of wrapping mid-batch; `size` is a high-water
+    mark so never-written tail slots are never sampled."""
+    buf = BasicReplayBuffer(capacity=4)
+    state = buf.init(make_batch(1))
+    state = buf.push(state, make_batch(3, offset=0.0))  # slots 0..2 <- 0,1,2
+    state = buf.push(state, make_batch(3, offset=10.0))  # restart: 0..2 <- 10..12
+    assert int(state.size) == 3  # slot 3 was never written
+    assert int(state.cursor) == 3
+    rewards = np.asarray(state.storage.reward)
+    assert rewards[0] == 10.0 and rewards[1] == 11.0 and rewards[2] == 12.0
+    batch = buf.sample(state, jax.random.PRNGKey(0), 64)
+    assert np.all(np.asarray(batch.reward) >= 10.0)  # slot 3 never sampled
 
 
 def test_sample_only_valid_entries():
