@@ -328,6 +328,66 @@ def continuous_control_experiments():
     }
 
 
+def ple_experiments():
+    """PLE game grid incl. the PuckWorld wrapper variants the reference
+    benchmarks (benchmark_config.py:1130-1151 PO/SR lists, :1715-1723 env
+    construction; user_envs/__init__.py:9-51 registrations). The PO variant
+    hides velocities (history methods recover them), SR pays 1 only near the
+    target, SF adds the high-variance risky half-plane reward."""
+    import jax.numpy as jnp
+
+    from pearl_tpu.envs import (
+        Catcher,
+        FlappyBird,
+        PartialObservabilityWrapper,
+        Pixelcopter,
+        Pong,
+        PuckWorld,
+        SafetyWrapper,
+        SparseRewardWrapper,
+    )
+
+    def puckworld_po():
+        # Hide velocities (indices 2, 3) — reference
+        # wrappers/partial_observability.py PuckWorld variant.
+        return PartialObservabilityWrapper(
+            PuckWorld(), observed_indices=(0, 1, 4, 5, 6, 7)
+        )
+
+    def puckworld_sr():
+        # 1 when the puck is within 0.1 of the target (sparse_reward.py:92-103).
+        def success(obs):
+            return jnp.linalg.norm(obs[..., 0:2] - obs[..., 4:6], axis=-1) < 0.1
+
+        return SparseRewardWrapper(PuckWorld(), success_fn=success)
+
+    def puckworld_sf():
+        # Risky half-plane x > 1/2 with N(0.01, 0.1) bonus (safety.py:26-34).
+        def risky(obs, action):
+            return obs[..., 0] > 0.5
+
+        return SafetyWrapper(
+            PuckWorld(), risky_fn=risky, noisy_reward_sigma=0.1
+        )
+
+    return {
+        "methods": ["DQN", "LSTMDQN", "LSTMPPO", "LSTMSAC", "BootstrappedDQN"],
+        "envs": {
+            "Catcher": Catcher,
+            "FlappyBird": FlappyBird,
+            "Pixelcopter": Pixelcopter,
+            "Pong": Pong,
+            "PuckWorld": PuckWorld,
+            "PuckWorld-PO": puckworld_po,
+            "PuckWorld-SR": puckworld_sr,
+            "PuckWorld-SF": puckworld_sf,
+        },
+        "max_steps": CLASSIC_CONTROL_STEPS,
+        "num_runs": NUM_RUNS,
+        "record_period": RECORD_PERIOD,
+    }
+
+
 def cb_benchmark_experiments():
     """CB methods x envs (reference cb_benchmark_config.py:40-242: SquareCB /
     FastCB / NeuralLinUCB / NeuralLinTS over UCI datasets; datasets here are

@@ -20,6 +20,7 @@ from pearl_tpu.envs.wrappers import (
 )
 from pearl_tpu.envs.breakout import Breakout
 from pearl_tpu.envs.puckworld import PuckWorld
+from pearl_tpu.envs.ple import Catcher, FlappyBird, Pixelcopter, Pong
 from pearl_tpu.envs.misc import (
     FixedNumberOfStepsEnvironment,
     MeanVarBanditEnvironment,
@@ -45,6 +46,10 @@ __all__ = [
     "OneHotObservationsFromDiscrete",
     "Breakout",
     "PuckWorld",
+    "Catcher",
+    "FlappyBird",
+    "Pixelcopter",
+    "Pong",
     "MeanVarBanditEnvironment",
     "FixedNumberOfStepsEnvironment",
     "VectorEnv",

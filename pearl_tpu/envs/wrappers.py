@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from pearl_tpu.api.environment import Environment
@@ -98,16 +99,31 @@ class SparseRewardWrapper(EnvWrapper):
 class SafetyWrapper(EnvWrapper):
     """Emit cost = 1 when the state-action is risky (reference
     wrappers/safety.py emits info["risky_sa"]; the cost flows into
-    ActionResult.cost so RC safety modules can learn from it)."""
+    ActionResult.cost so RC safety modules can learn from it).
+
+    When `noisy_reward_sigma > 0`, a risky step additionally adds a
+    high-variance reward `N(noisy_reward_mean, noisy_reward_sigma)` — the
+    reference's PuckWorldSafetyWrapper semantics (safety.py:26-34: small
+    positive mean, large variance in the risky half-plane), used by the
+    variance-sensitive safety experiments."""
 
     risky_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = None
+    noisy_reward_sigma: float = 0.0
+    noisy_reward_mean: float = 0.01
 
     def step(self, state, action, key):
-        state, result = self.env.step(state, action, key)
+        k_env, k_noise = jax.random.split(key)
+        state, result = self.env.step(state, action, k_env)
         risky = self.risky_fn(result.observation, action).astype(jnp.float32)
         info = dict(result.info)
         info["risky_sa"] = risky
-        return state, result.replace(cost=risky, info=info)
+        reward = result.reward
+        if self.noisy_reward_sigma > 0.0:
+            bonus = self.noisy_reward_mean + self.noisy_reward_sigma * (
+                jax.random.normal(k_noise, ())
+            )
+            reward = reward + risky * bonus
+        return state, result.replace(cost=risky, info=info, reward=reward)
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
