@@ -64,6 +64,9 @@ def make_compiled_runner(
             astate, _ = agent.learn(astate, keys[-1])
         return (astate, env_states), (jnp.sum(rew), jnp.sum(eps))
 
+    # No donation: agent_state contains aliased leaves at init (target
+    # params share buffers with online params), which XLA rejects as a
+    # double-donation; the per-dispatch input copy is ~10 MB (microseconds).
     @jax.jit
     def run_fn(agent_state, env_states, key):
         keys = jax.random.split(key, learns_per_call)
