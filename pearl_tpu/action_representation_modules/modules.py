@@ -51,6 +51,16 @@ class OneHotActionRepresentation(ActionRepresentationModule):
     max_number_actions: int = 0  # resolved by the learner if left 0
 
     def resolve(self, action_dim, max_number_actions):
+        if action_dim != 1:
+            raise ValueError(
+                "OneHotActionRepresentation one-hots the stored action value, "
+                "which is only meaningful for index-valued action spaces "
+                f"(action_dim=1); this space has action_dim={action_dim} "
+                "(embedding-valued elements). Use "
+                "IdentityActionRepresentation to feed the embeddings to the "
+                "networks directly (the reference does the same in its "
+                "recommender-system tutorial)."
+            )
         if self.max_number_actions:
             return self
         return dataclasses.replace(self, max_number_actions=max_number_actions)
@@ -73,6 +83,13 @@ class BinaryActionRepresentation(ActionRepresentationModule):
     bits: int = 0
 
     def resolve(self, action_dim, max_number_actions):
+        if action_dim != 1:
+            raise ValueError(
+                "BinaryActionRepresentation bit-encodes the stored action "
+                "value, which is only meaningful for index-valued action "
+                f"spaces (action_dim=1); this space has action_dim="
+                f"{action_dim}. Use IdentityActionRepresentation instead."
+            )
         if self.bits:
             return self
         import math

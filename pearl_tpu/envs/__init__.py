@@ -21,6 +21,7 @@ from pearl_tpu.envs.wrappers import (
 from pearl_tpu.envs.breakout import Breakout
 from pearl_tpu.envs.puckworld import PuckWorld
 from pearl_tpu.envs.ple import Catcher, FlappyBird, Pixelcopter, Pong
+from pearl_tpu.envs.recsys import RecommenderEnvironment
 from pearl_tpu.envs.misc import (
     FixedNumberOfStepsEnvironment,
     MeanVarBanditEnvironment,
@@ -50,6 +51,7 @@ __all__ = [
     "FlappyBird",
     "Pixelcopter",
     "Pong",
+    "RecommenderEnvironment",
     "MeanVarBanditEnvironment",
     "FixedNumberOfStepsEnvironment",
     "VectorEnv",
