@@ -185,15 +185,26 @@ class FlattenObservations(EnvWrapper):
 class OneHotObservationsFromDiscrete(EnvWrapper):
     """One-hot a scalar discrete observation (reference environments.py:121-168)."""
 
-    num_values: int = 0
+    num_values: int = 0  # 0 = infer from a DiscreteSpace observation space
+
+    @property
+    def _n(self) -> int:
+        n = self.num_values or getattr(self.env.observation_space, "n", 0)
+        if not n:
+            raise ValueError(
+                "OneHotObservationsFromDiscrete needs `num_values` (the "
+                "wrapped env's observation space is not discrete, so the "
+                "number of values cannot be inferred)."
+            )
+        return n
 
     @property
     def observation_space(self):
-        return BoxSpace.create(jnp.zeros(self.num_values), jnp.ones(self.num_values))
+        return BoxSpace.create(jnp.zeros(self._n), jnp.ones(self._n))
 
     def _one_hot(self, obs):
         idx = jnp.reshape(obs, (-1,))[0].astype(jnp.int32)
-        return jnp.zeros((self.num_values,)).at[idx].set(1.0)
+        return jnp.zeros((self._n,)).at[idx].set(1.0)
 
     def reset(self, key):
         state, obs = self.env.reset(key)

@@ -55,14 +55,48 @@ def transitions_from_arrays(
     )
 
 
+def _batch_from_reference_pt(path: str) -> TransitionBatch:
+    """Read the reference's hosted-dataset format: a torch-saved iterable of
+    transition dicts with keys (observation, action, reward,
+    next_observation, curr_available_actions, next_available_actions,
+    terminated, truncated) — offline_learning_and_evaluation.py:40-138."""
+    import torch
+
+    data = torch.load(path, map_location="cpu", weights_only=False)
+    rows = list(data)
+
+    def col(key, default=None):
+        if key not in rows[0]:
+            return default
+        return np.stack([np.atleast_1d(np.asarray(r[key])) for r in rows])
+
+    action = col("action")
+    return transitions_from_arrays(
+        state=col("observation"),
+        action=action,
+        reward=col("reward").reshape(len(rows)),
+        next_state=col("next_observation"),
+        terminated=col(
+            "terminated", np.ones((len(rows), 1), bool)
+        ).reshape(len(rows)),
+        truncated=col("truncated", np.zeros((len(rows), 1), bool)).reshape(
+            len(rows)
+        ),
+    )
+
+
 def get_offline_data_in_buffer(
     path: str, buffer: Optional[BasicReplayBuffer] = None
 ):
-    """Load an offline dataset (.npz with columnar arrays) into a replay
-    buffer (reference offline_learning_and_evaluation.py:40-138 does the same
-    from hosted .pt files)."""
-    data = np.load(path)
-    batch = transitions_from_arrays(**{k: data[k] for k in data.files})
+    """Load an offline dataset into a replay buffer (reference
+    offline_learning_and_evaluation.py:40-138). Accepts either this
+    framework's columnar .npz or the reference's .pt list-of-dicts format
+    (so datasets produced for/by the reference drop straight in)."""
+    if path.endswith(".pt"):
+        batch = _batch_from_reference_pt(path)
+    else:
+        data = np.load(path)
+        batch = transitions_from_arrays(**{k: data[k] for k in data.files})
     n = batch.reward.shape[0]
     if buffer is None:
         buffer = BasicReplayBuffer(capacity=n)

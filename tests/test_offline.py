@@ -113,3 +113,28 @@ def test_collect_offline_data(tmp_path):
     assert batch.reward.shape[0] == 256
     buffer, state = get_offline_data_in_buffer(path)
     assert int(state.size) == 256
+
+
+def test_reference_pt_dataset_format(tmp_path):
+    """The reference's hosted datasets are torch-saved lists of transition
+    dicts (offline_learning_and_evaluation.py:40-138); they load directly."""
+    torch = __import__("torch")
+    rng = np.random.RandomState(3)
+    rows = [
+        {
+            "observation": torch.tensor(rng.randn(4), dtype=torch.float32),
+            "action": torch.tensor(float(rng.randint(0, 2))),
+            "reward": torch.tensor(1.0),
+            "next_observation": torch.tensor(rng.randn(4), dtype=torch.float32),
+            "terminated": torch.tensor(False),
+            "truncated": torch.tensor(False),
+        }
+        for _ in range(32)
+    ]
+    path = str(tmp_path / "data.pt")
+    torch.save(rows, path)
+    buffer, state = get_offline_data_in_buffer(path)
+    assert int(state.size) == 32
+    assert state.storage.state.shape == (32, 4)
+    assert state.storage.action.shape == (32, 1)
+    assert bool(np.all(np.asarray(state.storage.reward) == 1.0))
