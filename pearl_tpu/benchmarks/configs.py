@@ -100,6 +100,11 @@ METHODS = {
         ),
         learn_every_k_steps=4,
     ),
+    "MultiHeadDQN": Method(
+        "MultiHeadDQN",
+        _off_policy(lambda: _multihead_dqn()),
+        learn_every_k_steps=4,
+    ),
     "DuelingDQN": Method(
         "DuelingDQN",
         _off_policy(
@@ -252,6 +257,20 @@ METHODS = {
         env_family="visual",
     ),
 }
+
+
+def _multihead_dqn():
+    """state -> |A| heads (reference VanillaQValueMultiHeadNetwork,
+    q_value_networks.py:186-250) — the fastest DQN shape on TPU (one B-row
+    matmul per act instead of B*A rows); the bench.py default."""
+    from pearl_tpu.neural_networks.q_value_networks import MultiHeadQValueNetwork
+
+    return DeepQLearning(
+        q_network=MultiHeadQValueNetwork(),
+        training_rounds=2,
+        batch_size=128,
+        exploration=_EPS_SCHED,
+    )
 
 
 def _td3bc():
