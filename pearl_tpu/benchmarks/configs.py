@@ -407,6 +407,41 @@ def ple_experiments():
     }
 
 
+def dynamic_action_experiments():
+    """Dynamic-action-space variants (reference benchmark_config.py's
+    *_dynamic method dicts + DynamicActionSpaceWrapper,
+    wrappers/dynamic_action_env.py:19-48): CartPole/Acrobot with the last
+    action masked out every other interval; agents must track the
+    availability masks end-to-end (replay stores curr/next masks)."""
+    import dataclasses as _dc
+
+    from pearl_tpu.envs import Acrobot, CartPole, DynamicActionSpaceWrapper
+
+    def wrap(make_env):
+        return lambda: DynamicActionSpaceWrapper(make_env(), interval=4, num_masked=1)
+
+    def with_masks(name):
+        base = METHODS[name]
+        make = base.make_agent
+
+        def make_agent(num_envs):
+            return _dc.replace(make(num_envs), track_available_masks=True)
+
+        return _dc.replace(base, make_agent=make_agent)
+
+    return {
+        "methods": {n: with_masks(n) for n in ("DQN", "DoubleDQN", "SARSA")},
+        "envs": {
+            # Acrobot has 3 actions -> masking one leaves a real choice.
+            "DynamicAcrobot": wrap(Acrobot),
+            "DynamicCartPole": wrap(CartPole),
+        },
+        "max_steps": CLASSIC_CONTROL_STEPS,
+        "num_runs": NUM_RUNS,
+        "record_period": RECORD_PERIOD,
+    }
+
+
 def cb_benchmark_experiments():
     """CB methods x envs (reference cb_benchmark_config.py:40-242: SquareCB /
     FastCB / NeuralLinUCB / NeuralLinTS over UCI datasets; datasets here are

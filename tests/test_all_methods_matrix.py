@@ -58,3 +58,29 @@ def test_method_trains_and_roundtrips(name, tmp_path):
     save(path, state)
     restored = restore(path, state)
     assert tree_allclose(restored.learner, state.learner), name
+
+
+def test_dynamic_action_experiment_preset():
+    """dynamic_action_experiments() (reference *_dynamic method dicts +
+    DynamicActionSpaceWrapper): each method trains a few steps on the
+    masked env with availability masks stored in replay."""
+    from pearl_tpu.benchmarks.configs import dynamic_action_experiments
+
+    exp = dynamic_action_experiments()
+    env = exp["envs"]["DynamicAcrobot"]()
+    for name, method in exp["methods"].items():
+        agent = method.make_agent(4)
+        assert agent.track_available_masks, name
+        res = online_learning(
+            agent, env, num_envs=4, max_steps=96,
+            learn_every_k_steps=8, learning_starts=32, seed=0,
+        )
+        state = res.agent_state
+        assert int(state.learner.step) > 0, name
+        # Replay stored real (non-trivial) availability masks. (SARSA is
+        # on-policy — its buffer is cleared after each learn, so the ring can
+        # legitimately be empty at the exact end of the run.)
+        n = int(state.replay.size)
+        if n > 0:
+            masks = np.asarray(state.replay.storage.curr_available_mask)
+            assert masks[:n].all(axis=1).mean() < 1.0, name
