@@ -170,3 +170,33 @@ def test_ple_experiment_preset_and_noisy_safety():
         rs.append(float(res.reward))
     import numpy as np
     assert abs(np.mean(rs) - float(r_base.reward)) < 0.3
+
+
+def test_dqn_improves_on_catcher():
+    """Learning signal on the PLE family: DQN's catch/miss balance improves
+    (full convergence needs a larger budget than CI allows; direction and
+    magnitude are asserted instead)."""
+    from pearl_tpu.agent import PearlAgent
+    from pearl_tpu.policy_learners.exploration_modules import EGreedyExploration
+    from pearl_tpu.policy_learners.sequential_decision_making import DeepQLearning
+    from pearl_tpu.replay_buffers.replay_buffer import BasicReplayBuffer
+    from pearl_tpu.training import online_learning
+    import numpy as np
+
+    agent = PearlAgent(
+        policy_learner=DeepQLearning(
+            training_rounds=2, batch_size=128,
+            exploration=EGreedyExploration(
+                start_epsilon=0.5, end_epsilon=0.05, warmup_steps=30_000
+            ),
+        ),
+        replay_buffer=BasicReplayBuffer(capacity=50_000),
+    )
+    res = online_learning(
+        agent, Catcher(), num_envs=32, max_steps=120_000,
+        learn_every_k_steps=4, learning_starts=2_000, seed=7,
+    )
+    r = np.asarray(res.episode_returns)
+    n = max(len(r) // 10, 20)
+    first, last = r[:n].mean(), r[-n:].mean()
+    assert last > first + 1.0, (first, last)  # observed -5.8 -> -3.2
