@@ -260,3 +260,25 @@ def test_offline_iql_pipeline_pendulum():
     returns = offline_evaluation(iql_agent, astate, env, num_envs=16, max_steps=40_000)
     # Far better than a random policy (~-1200) purely from offline data.
     assert np.mean(returns) > -600.0, np.mean(returns)
+
+
+# ---------------------------------------------------------- FrozenLake 1.0x5
+def test_dqn_solves_frozen_lake():
+    """Reference anchor: DQN on one-hot FrozenLake (is_slippery=False)
+    reaches return 1.0 five episodes in a row within 1000 episodes
+    (test_integration.py:176-210). target_window=5 with a 1.0 target is
+    exactly the 5-in-a-row criterion for binary returns."""
+    from pearl_tpu.envs import FrozenLake
+
+    agent = PearlAgent(
+        policy_learner=DeepQLearning(
+            training_rounds=4, batch_size=64, exploration=_EPS,
+        ),
+        replay_buffer=BasicReplayBuffer(capacity=10_000),
+    )
+    res = online_learning(
+        agent, FrozenLake(one_hot_obs=True, slippery=False),
+        num_envs=16, max_steps=300_000, learn_every_k_steps=2,
+        learning_starts=500, seed=42, target_return=1.0, target_window=5,
+    )
+    _assert_reached(res, 1.0)
