@@ -101,3 +101,34 @@ def test_dynamic_action_space_end_to_end():
     idx = np.asarray(replay.storage.action_index)[: int(replay.size)]
     chosen_avail = curr[np.arange(len(idx)), idx]
     assert chosen_avail.all()
+
+
+def test_lstm_dqn_learns_partial_obs_cartpole():
+    """BASELINE.json config "DQN + LSTM history summarization on partially
+    observable CartPole": positions-only observations (velocities hidden,
+    reference wrappers/partial_observability.py) — the LSTM must recover the
+    velocity state for the agent to balance. Observed 13 -> 206 mean return
+    in 100k steps (seed 7)."""
+    from pearl_tpu.policy_learners.exploration_modules import EGreedyExploration
+
+    env = PartialObservabilityWrapper(env=CartPole(), observed_indices=(0, 2))
+    agent = PearlAgent(
+        policy_learner=DeepQLearning(
+            training_rounds=2,
+            batch_size=128,
+            exploration=EGreedyExploration(
+                start_epsilon=0.5, end_epsilon=0.05, warmup_steps=20_000
+            ),
+            history_summarizer=LSTMHistorySummarization(
+                history_length=8, hidden_dim=64, num_layers=1
+            ),
+        ),
+        replay_buffer=BasicReplayBuffer(capacity=50_000),
+    )
+    res = online_learning(
+        agent, env, num_envs=32, max_steps=100_000,
+        learn_every_k_steps=4, learning_starts=2_000, seed=7,
+    )
+    r = np.asarray(res.episode_returns)
+    n = max(len(r) // 10, 20)
+    assert r[-n:].mean() > 100.0, (r[:n].mean(), r[-n:].mean())
