@@ -42,15 +42,17 @@ def main():
     from pearl_tpu.replay_buffers.replay_buffer import BasicReplayBuffer
     from pearl_tpu.training.throughput import make_compiled_runner
 
-    # 16k envs: replay-push scaling is near-linear to 16384 envs/chip
-    # (docs/ROADMAP.md); capacity keeps the ring >= 2 learn-cycles deep.
-    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 16_384))
+    # 128k envs: replay-push scaling continues well past 16384 envs/chip
+    # (216M @16k -> 370M @32k -> 446M @64k -> 489M @128k steps/s on v5e;
+    # 256k regresses to 465M — docs/ROADMAP.md). Capacity keeps the ring
+    # >= 2 learn-cycles deep so every push stays on the contiguous fast path.
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 131_072))
     steps_per_learn = int(os.environ.get("BENCH_STEPS_PER_LEARN", 8))
     # 64 learn-chunks per dispatch: at >30M steps/s a smaller program is
     # dominated by per-call host->TPU dispatch latency, not device time.
     learns_per_call = int(os.environ.get("BENCH_LEARNS_PER_CALL", 64))
     calls = int(os.environ.get("BENCH_CALLS", 10))
-    capacity = int(os.environ.get("BENCH_CAPACITY", 262_144))
+    capacity = int(os.environ.get("BENCH_CAPACITY", 2_097_152))
     batch_size = int(os.environ.get("BENCH_BATCH_SIZE", 1024))
 
     # Multi-head Q (state -> |A| values, reference VanillaQValueMultiHeadNetwork)

@@ -4,9 +4,11 @@ pearl/utils/scripts/benchmark_config.py:114-1070 — ~40 method dicts).
 The reference's untyped method dicts (interpreted by a 200-line builder in
 benchmark.py:121-337) become factory dataclasses: each Method knows how to
 build its agent for a given env. Methods mirror the reference registry:
-DQN / DoubleDQN / SARSA / DuelingDQN / QRDQN / BootstrappedDQN / CQL(DQN) /
-PPO / REINFORCE / SAC / ContinuousSAC / DDPG / TD3 / IQL, plus LSTM-history
-variants."""
+DQN / DoubleDQN / SARSA / DuelingDQN / QRDQN (+variance-coefficient risk
+variants) / BootstrappedDQN (+single-member) / CQL(DQN) / PPO / REINFORCE /
+SAC / ContinuousSAC / DDPG / TD3 / TD3BC / IQL (discrete + continuous), with
+LSTM-history, dynamic-action, CNN (Atari-topology), and reward-constrained
+(RCPO) variant rows."""
 
 from __future__ import annotations
 
@@ -256,7 +258,266 @@ METHODS = {
         learn_every_k_steps=4,
         env_family="visual",
     ),
+    # --- Risk-sensitive QR-DQN variants (reference
+    # QRDQN_var_coeff_05/_2_method, benchmark_config.py:307-341): act/learn
+    # under mu - beta*Var of the quantile distribution. -----------------------
+    "QRDQN-Var0.5": Method(
+        "QRDQN-Var0.5",
+        _off_policy(lambda: _qrdqn_var(0.5)),
+        learn_every_k_steps=4,
+    ),
+    "QRDQN-Var2": Method(
+        "QRDQN-Var2",
+        _off_policy(lambda: _qrdqn_var(2.0)),
+        learn_every_k_steps=4,
+    ),
+    # Degenerate single-member ensemble (BootstrappedDQN_ensemble_1_method
+    # :364-386) — isolates the bootstrap-mask effect from ensemble diversity.
+    "BootstrappedDQN-1": Method(
+        "BootstrappedDQN-1",
+        lambda num_envs: PearlAgent(
+            policy_learner=BootstrappedDQN(
+                q_network=EnsembleQValueNetwork(ensemble_size=1),
+                training_rounds=2,
+                batch_size=128,
+            ),
+            replay_buffer=BootstrapReplayBuffer(capacity=_CAP, ensemble_size=1),
+        ),
+        learn_every_k_steps=4,
+    ),
+    # --- LSTM-history variants for the continuous actor-critic methods
+    # (DDPG_LSTM_method :710-740, TD3_LSTM_method :772-805,
+    # CSAC_LSTM_method :832-859). ---------------------------------------------
+    "LSTMDDPG": Method(
+        "LSTMDDPG",
+        _off_policy(
+            lambda: DeepDeterministicPolicyGradient(
+                training_rounds=1, batch_size=256, history_summarizer=_lstm()
+            )
+        ),
+        continuous=True,
+    ),
+    "LSTMTD3": Method(
+        "LSTMTD3",
+        _off_policy(
+            lambda: TD3(training_rounds=1, batch_size=256, history_summarizer=_lstm())
+        ),
+        continuous=True,
+    ),
+    "LSTMCSAC": Method(
+        "LSTMCSAC",
+        _off_policy(
+            lambda: ContinuousSoftActorCritic(
+                training_rounds=1, batch_size=256, history_summarizer=_lstm()
+            )
+        ),
+        continuous=True,
+    ),
+    # --- Dynamic-action-space variants (REINFORCE_dynamic_method :258-272,
+    # PPO_dynamic_method :460-476, SAC_dynamic_method :516-531): the actor is
+    # the pair-scoring DynamicActionActorNetwork (softmax over the *available*
+    # actions only), and the agent stores per-step availability masks in
+    # replay. Pair with DynamicActionSpaceWrapper envs. -----------------------
+    "DynamicREINFORCE": Method(
+        "DynamicREINFORCE",
+        lambda num_envs: PearlAgent(
+            policy_learner=REINFORCE(actor_network=_dyn_actor()),
+            replay_buffer=OnPolicyReplayBuffer(
+                capacity=256 * num_envs, num_envs=num_envs
+            ),
+            track_available_masks=True,
+        ),
+        learn_every_k_steps=256,
+        learning_starts=0,
+        on_policy_rollout=256,
+    ),
+    "DynamicPPO": Method(
+        "DynamicPPO",
+        lambda num_envs: PearlAgent(
+            policy_learner=ProximalPolicyOptimization(
+                training_rounds=8, batch_size=256, actor_network=_dyn_actor()
+            ),
+            replay_buffer=OnPolicyReplayBuffer(
+                capacity=128 * num_envs, num_envs=num_envs
+            ),
+            track_available_masks=True,
+        ),
+        learn_every_k_steps=128,
+        learning_starts=0,
+        on_policy_rollout=128,
+    ),
+    "DynamicSAC": Method(
+        "DynamicSAC",
+        lambda num_envs: PearlAgent(
+            policy_learner=SoftActorCritic(
+                training_rounds=1, batch_size=256, actor_network=_dyn_actor()
+            ),
+            replay_buffer=BasicReplayBuffer(capacity=_CAP),
+            track_available_masks=True,
+        ),
+        learn_every_k_steps=2,
+    ),
+    # Discrete IQL (IQL_online_method :598-626; our "IQL" row is the
+    # continuous CIQL_online_method :653-681 — continuity follows the env's
+    # action space).
+    "DiscreteIQL": Method(
+        "DiscreteIQL",
+        _off_policy(lambda: ImplicitQLearning(training_rounds=1, batch_size=256)),
+        learn_every_k_steps=2,
+    ),
+    # --- Reward-constrained (RCPO) variants at constraint 0.2
+    # (RCDDPG/RCTD3/RCCSAC_method_const_0_2 :860-1002): cost critic +
+    # Lagrangian reward shaping via the RC safety module. Pair with a
+    # cost-emitting env (e.g. Pendulum(emit_torque_cost=True)). ---------------
+    "RCDDPG": Method(
+        "RCDDPG",
+        lambda num_envs: _rc_agent(
+            DeepDeterministicPolicyGradient(training_rounds=1, batch_size=256)
+        ),
+        continuous=True,
+    ),
+    "RCTD3": Method(
+        "RCTD3",
+        lambda num_envs: _rc_agent(TD3(training_rounds=1, batch_size=256)),
+        continuous=True,
+    ),
+    "RCCSAC": Method(
+        "RCCSAC",
+        lambda num_envs: _rc_agent(
+            ContinuousSoftActorCritic(training_rounds=1, batch_size=256)
+        ),
+        continuous=True,
+    ),
+    # Discrete RC rows (RCSAC/RCPPO/RCREINFORCE_method_const_0_2 :1003-1070):
+    # the same cost critic + Lagrangian over one-hot action representations.
+    "RCSAC": Method(
+        "RCSAC",
+        lambda num_envs: _rc_agent(
+            SoftActorCritic(training_rounds=1, batch_size=256, entropy_coef=0.1)
+        ),
+        learn_every_k_steps=2,
+    ),
+    "RCPPO": Method(
+        "RCPPO",
+        lambda num_envs: _rc_agent(
+            ProximalPolicyOptimization(training_rounds=8, batch_size=256),
+            buffer=OnPolicyReplayBuffer(capacity=128 * num_envs, num_envs=num_envs),
+        ),
+        learn_every_k_steps=128,
+        learning_starts=0,
+        on_policy_rollout=128,
+    ),
+    "RCREINFORCE": Method(
+        "RCREINFORCE",
+        lambda num_envs: _rc_agent(
+            REINFORCE(),
+            buffer=OnPolicyReplayBuffer(capacity=256 * num_envs, num_envs=num_envs),
+        ),
+        learn_every_k_steps=256,
+        learning_starts=0,
+        on_policy_rollout=256,
+    ),
+    # --- CNN (Atari-topology) actor-critic variants on the on-device visual
+    # env (PPO_Atari_method :403-434, SAC_Atari/SAC_multi_head_Atari_method
+    # :532-597; the ALE emulator itself is host-side — see envs/atari.py and
+    # docs/ROADMAP.md). --------------------------------------------------------
+    "CNNPPO": Method(
+        "CNNPPO",
+        lambda num_envs: PearlAgent(
+            policy_learner=ProximalPolicyOptimization(
+                training_rounds=8,
+                batch_size=256,
+                actor_network=_cnn_actor(),
+                critic_network=_cnn_value(),
+            ),
+            replay_buffer=OnPolicyReplayBuffer(
+                capacity=128 * num_envs, num_envs=num_envs
+            ),
+        ),
+        learn_every_k_steps=128,
+        learning_starts=0,
+        on_policy_rollout=128,
+        env_family="visual",
+    ),
+    "CNNSAC": Method(
+        "CNNSAC",
+        _off_policy(
+            lambda: SoftActorCritic(
+                training_rounds=1,
+                batch_size=256,
+                actor_network=_cnn_actor(),
+                critic_network=_cnn_twin_critic(),
+            )
+        ),
+        learn_every_k_steps=4,
+        env_family="visual",
+    ),
 }
+
+_BREAKOUT_CNN = dict(
+    input_shape=(10, 10, 4),
+    out_channels=(16, 32),
+    kernel_sizes=(3, 3),
+    strides=(1, 1),
+    paddings=(1, 1),
+    hidden_dims=(128,),
+)
+
+
+def _cnn_actor():
+    from pearl_tpu.neural_networks.actor_networks import CNNActorNetwork
+
+    return CNNActorNetwork(**_BREAKOUT_CNN)
+
+
+def _cnn_value():
+    from pearl_tpu.neural_networks.value_networks import CNNValueNetwork
+
+    return CNNValueNetwork(**_BREAKOUT_CNN)
+
+
+def _cnn_twin_critic():
+    from pearl_tpu.neural_networks.twin_critic import CNNTwinCritic
+
+    return CNNTwinCritic(**_BREAKOUT_CNN)
+
+
+def _lstm():
+    return LSTMHistorySummarization(history_length=8, hidden_dim=64, num_layers=1)
+
+
+def _dyn_actor():
+    from pearl_tpu.neural_networks.actor_networks import DynamicActionActorNetwork
+
+    return DynamicActionActorNetwork()
+
+
+def _qrdqn_var(coefficient: float):
+    from pearl_tpu.safety_modules.risk_sensitive import (
+        QuantileNetworkMeanVarianceSafetyModule,
+    )
+
+    return QuantileRegressionDeepQLearning(
+        training_rounds=2,
+        batch_size=128,
+        exploration=_EPS_SCHED,
+        safety=QuantileNetworkMeanVarianceSafetyModule(
+            variance_weighting_coefficient=coefficient
+        ),
+    )
+
+
+def _rc_agent(learner, buffer=None):
+    from pearl_tpu.safety_modules import RCSafetyModuleCostCriticContinuousAction
+
+    return PearlAgent(
+        policy_learner=learner,
+        replay_buffer=buffer if buffer is not None else BasicReplayBuffer(capacity=_CAP),
+        safety_module=RCSafetyModuleCostCriticContinuousAction(
+            constraint_value=0.2, batch_size=256
+        ),
+        store_cost=True,
+    )
 
 
 def _multihead_dqn():

@@ -122,7 +122,8 @@ class ActorCriticBase(PolicyLearner):
         if self.critic_network is None:
             return None
         a_dim = self.action_space.action_dim if self.is_continuous else rep_dim
-        if isinstance(self.critic_network, TwinCritic):
+        if hasattr(self.critic_network, "q_both"):
+            # Action-value (twin) critics — TwinCritic, CNNTwinCritic, ...
             return self.critic_network.init(key, subj_dim, a_dim)
         # State-value critic (PPO/REINFORCE).
         return self.critic_network.init(key, subj_dim)

@@ -67,8 +67,23 @@ class ImplicitQLearning(ActorCriticBase):
     def _q_target_sa(self, state, subj, action):
         return self.critic_network.q_min(state.critic_target_params, subj, action)
 
+    def _critic_action(self, batch, B):
+        """Action as the critic saw it at init: the raw vector for continuous
+        spaces, the represented (e.g. one-hot) action for discrete ones —
+        replay stores the raw env action, but the Q critic's input dim is the
+        representation dim (reference preprocess_batch runs the action-rep
+        module over batch.action, policy_learner.py:198-219)."""
+        if self.is_continuous:
+            return batch.action
+        candidates = self.represented_candidates(B)
+        idx = batch.action_index[:, None, None]
+        return jnp.take_along_axis(
+            candidates, jnp.broadcast_to(idx, (B, 1, candidates.shape[-1])), axis=1
+        )[:, 0]
+
     def actor_loss(self, state, actor_params, summ_params, batch, subj, key):
-        q = jax.lax.stop_gradient(self._q_target_sa(state, subj, batch.action))
+        action = self._critic_action(batch, subj.shape[0])
+        q = jax.lax.stop_gradient(self._q_target_sa(state, subj, action))
         v = jax.lax.stop_gradient(
             self.value_network.value(state.extra.value_params, subj)
         )
@@ -102,12 +117,16 @@ class ImplicitQLearning(ActorCriticBase):
         )
         not_done = 1.0 - batch.terminated.astype(jnp.float32)
         y = batch.reward + self.discount_factor * not_done * v_next
-        q1, q2 = self.critic_network.q_both(critic_params, subj, batch.action)
+        q1, q2 = self.critic_network.q_both(
+            critic_params, subj, self._critic_action(batch, subj.shape[0])
+        )
         return (jnp.mean((q1 - y) ** 2) + jnp.mean((q2 - y) ** 2)) / 2.0
 
     def post_update(self, state: ActorCriticState, batch):
         subj = self.history_summarizer.forward(state.summarizer_params, batch.state)
-        q = jax.lax.stop_gradient(self._q_target_sa(state, subj, batch.action))
+        q = jax.lax.stop_gradient(
+            self._q_target_sa(state, subj, self._critic_action(batch, subj.shape[0]))
+        )
 
         def value_loss_fn(value_params):
             v = self.value_network.value(value_params, subj)

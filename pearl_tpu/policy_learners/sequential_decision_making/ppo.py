@@ -76,11 +76,16 @@ class ProximalPolicyOptimization(ActorCriticBase):
     def use_critic_target(self) -> bool:
         return False
 
-    def learn(self, state, buffer, buffer_state, key):
+    def learn(self, state, buffer, buffer_state, key, batch_transform=None):
         assert isinstance(buffer, OnPolicyReplayBuffer), (
             "PPO requires an OnPolicyReplayBuffer sized rollout_steps*num_envs"
         )
         traj = buffer.trajectory_view(buffer_state)
+        if batch_transform is not None:
+            # Safety reward shaping (reward -= lambda * cost) before GAE —
+            # the reference applies it in preprocess_batch
+            # (actor_critic_base.py:371-386).
+            traj = batch_transform(traj)
         T, B = traj.reward.shape
 
         summ = self.history_summarizer

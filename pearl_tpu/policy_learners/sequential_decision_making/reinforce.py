@@ -61,9 +61,13 @@ class REINFORCE(ActorCriticBase):
     def use_critic_target(self) -> bool:
         return False
 
-    def learn(self, state, buffer, buffer_state, key):
+    def learn(self, state, buffer, buffer_state, key, batch_transform=None):
         assert isinstance(buffer, OnPolicyReplayBuffer)
         traj = buffer.trajectory_view(buffer_state)
+        if batch_transform is not None:
+            # Safety reward shaping (reward -= lambda * cost) before the
+            # return computation (reference actor_critic_base.py:371-386).
+            traj = batch_transform(traj)
         T, B = traj.reward.shape
         summ = self.history_summarizer
         subj_flat = summ.forward(state.summarizer_params, traj.state.reshape(T * B, -1))

@@ -37,6 +37,10 @@ from pearl_tpu.policy_learners.sequential_decision_making.sac_continuous import 
 
 def twin_q_all(critic: TwinCritic, params, subj, candidates):
     """Evaluate both critic heads for every candidate action: (B, A) x2."""
+    if hasattr(critic, "q_all_both"):
+        # Multi-head critics (e.g. CNNTwinCritic) score all candidates from
+        # the state alone — one forward per member instead of B*A pair rows.
+        return critic.q_all_both(params, subj, candidates)
     B, A = candidates.shape[0], candidates.shape[1]
     s_flat = jnp.broadcast_to(subj[:, None, :], (B, A, subj.shape[-1])).reshape(
         B * A, -1

@@ -12,9 +12,12 @@ Semantics preserved:
   batch_transform hook (reference couples through
   actor_critic_base.preprocess_batch:377-383).
 
-Works with continuous actor-critic learners (the next-action for the cost
-Bellman target comes from the learner's actor, like the reference which reads
-the policy from the injected policy_learner)."""
+Works with continuous AND discrete actor-critic learners (the next-action
+for the cost Bellman target comes from the learner's actor, like the
+reference which reads the policy from the injected policy_learner; discrete
+policies feed the cost critic one-hot action representations, matching the
+reference's RCSAC/RCPPO/RCREINFORCE rows which pair the module with
+OneHotActionTensorRepresentationModule)."""
 
 from __future__ import annotations
 
@@ -57,7 +60,18 @@ class RCSafetyModuleCostCriticContinuousAction(SafetyModule):
         return optax.adamw(self.critic_learning_rate, weight_decay=0.01)
 
     def init(self, key, observation_dim: int, action_space, num_envs: int):
-        params = self._critic().init(key, observation_dim, action_space.action_dim)
+        # Discrete learners feed the cost critic one-hot action
+        # representations (the reference pairs its discrete RC methods —
+        # RCSAC/RCPPO/RCREINFORCE_method_const_0_2,
+        # benchmark_config.py:1003-1070 — with
+        # OneHotActionTensorRepresentationModule), so the action input dim is
+        # the number of actions, not the raw action_dim.
+        a_dim = (
+            action_space.action_dim
+            if action_space.is_continuous
+            else action_space.n
+        )
+        params = self._critic().init(key, observation_dim, a_dim)
         return RCSafetyState(
             critic_params=params,
             critic_target_params=params,
@@ -81,16 +95,45 @@ class RCSafetyModuleCostCriticContinuousAction(SafetyModule):
         if batch.cost is None:
             return state, {}
         critic = self._critic()
-        low, high = learner.action_space.low, learner.action_space.high
         k_pi, k_next = jax.random.split(state.key)
 
         # Next action from the CURRENT policy (reference :127-142).
         next_subj = learner.history_summarizer.forward(
             learner_state.summarizer_params, batch.next_state
         )
-        next_action, _ = learner.actor.sample_action(
-            learner_state.actor_params, next_subj, k_pi, low, high
-        )
+        if learner.is_continuous:
+            low, high = learner.action_space.low, learner.action_space.high
+            next_action, _ = learner.actor.sample_action(
+                learner_state.actor_params, next_subj, k_pi, low, high
+            )
+            batch_action = batch.action
+        else:
+            # Discrete policy: sample the next action from the policy
+            # distribution over one-hot candidates; the cost critic consumes
+            # one-hot representations (see init).
+            B = next_subj.shape[0]
+            candidates = learner.represented_candidates(B)
+            probs = learner.actor.get_policy_distribution(
+                learner_state.actor_params,
+                next_subj,
+                candidates,
+                batch.next_available_mask,
+            )
+            idx = jax.random.categorical(
+                k_pi, jnp.log(jnp.clip(probs, 1e-8, 1.0)), axis=-1
+            )
+            next_action = jnp.take_along_axis(
+                candidates,
+                jnp.broadcast_to(idx[:, None, None], (B, 1, candidates.shape[-1])),
+                axis=1,
+            )[:, 0]
+            batch_action = jnp.take_along_axis(
+                candidates,
+                jnp.broadcast_to(
+                    batch.action_index[:, None, None], (B, 1, candidates.shape[-1])
+                ),
+                axis=1,
+            )[:, 0]
         q1t, q2t = critic.q_both(state.critic_target_params, next_subj, next_action)
         # MAX of the twin targets — pessimistic for costs (reference :143-151).
         q_target = jnp.maximum(q1t, q2t)
@@ -103,7 +146,7 @@ class RCSafetyModuleCostCriticContinuousAction(SafetyModule):
         )
 
         def loss_fn(params):
-            q1, q2 = critic.q_both(params, subj, batch.action)
+            q1, q2 = critic.q_both(params, subj, batch_action)
             return (jnp.mean((q1 - y) ** 2) + jnp.mean((q2 - y) ** 2)) / 2.0
 
         loss, grads = jax.value_and_grad(loss_fn)(state.critic_params)
@@ -118,7 +161,7 @@ class RCSafetyModuleCostCriticContinuousAction(SafetyModule):
         )
 
         # Lambda update on the max-twin cost estimate (reference :163-199).
-        q1, q2 = critic.q_both(params, subj, batch.action)
+        q1, q2 = critic.q_both(params, subj, batch_action)
         cost_q = jnp.mean(jnp.maximum(q1, q2))
         lam = jnp.clip(
             state.lagrangian

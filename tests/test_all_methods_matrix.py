@@ -17,14 +17,36 @@ from pearl_tpu.utils.checkpoint import restore, save
 @pytest.mark.parametrize("name", sorted(METHODS.keys()))
 def test_method_trains_and_roundtrips(name, tmp_path):
     method = METHODS[name]
+    num_envs = 4
+    agent = method.make_agent(num_envs)
     if method.env_family == "visual":
         from pearl_tpu.envs import Breakout
 
         env = Breakout()
+    elif agent.store_cost and method.continuous:
+        # RC (RCPO) methods learn a cost critic — pair with the cost-emitting
+        # env, as the reference pairs RC* methods with gym_avg_torque_cost.
+        env = Pendulum(emit_torque_cost=True)
+    elif agent.store_cost:
+        # Discrete RC rows: cost = 1 in the risky half-plane (the reference's
+        # safety wrapper, wrappers/safety.py).
+        import jax.numpy as jnp
+
+        from pearl_tpu.envs import SafetyWrapper
+
+        env = SafetyWrapper(
+            CartPole(), risky_fn=lambda obs, action: obs[..., 0] > 0.5
+        )
+    elif method.continuous:
+        env = Pendulum()
+    elif agent.track_available_masks:
+        # Dynamic-action methods store availability masks — pair with the
+        # masked wrapper (reference DynamicActionSpaceWrapper envs).
+        from pearl_tpu.envs import DynamicActionSpaceWrapper
+
+        env = DynamicActionSpaceWrapper(CartPole(), interval=4, num_masked=1)
     else:
-        env = Pendulum() if method.continuous else CartPole()
-    num_envs = 4
-    agent = method.make_agent(num_envs)
+        env = CartPole()
     rollout = method.on_policy_rollout
     if rollout is not None:
         # Shrink on-policy rollouts for test speed.
