@@ -703,6 +703,60 @@ def dynamic_action_experiments():
     }
 
 
+def rc_constrained_experiments():
+    """Reward-constrained (RCPO) grid (reference benchmark_config.py's
+    RC*-method experiment lists, :1160-1461): constrained methods on
+    cost-emitting continuous-control envs, sweeping the constraint value.
+    The output of interest is the return/episode-cost tradeoff per
+    constraint (examples/rc_safety_pendulum.py plots one slice)."""
+    import dataclasses as _dc
+
+    from pearl_tpu.envs import Pendulum
+
+    def at_constraint(name, value):
+        base = METHODS[name]
+        make = base.make_agent
+
+        def make_agent(num_envs):
+            agent = make(num_envs)
+            return _dc.replace(
+                agent,
+                safety_module=_dc.replace(
+                    agent.safety_module, constraint_value=value
+                ),
+            )
+
+        return _dc.replace(base, make_agent=make_agent)
+
+    constraints = (0.05, 0.1, 0.2)
+    return {
+        "methods": {
+            f"{n}-c{c}": at_constraint(n, c)
+            for n in ("RCDDPG", "RCTD3", "RCCSAC")
+            for c in constraints
+        },
+        "envs": {"PendulumCost": lambda: Pendulum(emit_torque_cost=True)},
+        "max_steps": CLASSIC_CONTROL_STEPS,
+        "num_runs": NUM_RUNS,
+        "record_period": RECORD_PERIOD,
+    }
+
+
+def visual_experiments():
+    """CNN-method grid on the on-device visual env (reference Atari
+    experiments, benchmark_config.py:1462-1676; the ALE emulator is
+    host-side — envs/atari.py + training/host_loop.py run that topology)."""
+    from pearl_tpu.envs import Breakout
+
+    return {
+        "methods": ["CNNDQN", "CNNPPO", "CNNSAC"],
+        "envs": {"Breakout": Breakout},
+        "max_steps": CLASSIC_CONTROL_STEPS,
+        "num_runs": NUM_RUNS,
+        "record_period": RECORD_PERIOD,
+    }
+
+
 def cb_benchmark_experiments():
     """CB methods x envs (reference cb_benchmark_config.py:40-242: SquareCB /
     FastCB / NeuralLinUCB / NeuralLinTS over UCI datasets; datasets here are

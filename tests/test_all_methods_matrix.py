@@ -106,3 +106,32 @@ def test_dynamic_action_experiment_preset():
         if n > 0:
             masks = np.asarray(state.replay.storage.curr_available_mask)
             assert masks[:n].all(axis=1).mean() < 1.0, name
+
+
+def test_rc_constrained_experiment_preset():
+    """rc_constrained_experiments() (reference RC experiment grids,
+    benchmark_config.py:1160-1461): constraint values are threaded into the
+    safety module and each grid cell trains."""
+    from pearl_tpu.benchmarks.configs import rc_constrained_experiments
+    from pearl_tpu.training import online_learning
+
+    exp = rc_constrained_experiments()
+    env = exp["envs"]["PendulumCost"]()
+    # One cell per method family is enough for CI; all 9 share the builders.
+    for name in ("RCDDPG-c0.05", "RCTD3-c0.1", "RCCSAC-c0.2"):
+        method = exp["methods"][name]
+        agent = method.make_agent(4)
+        assert agent.safety_module.constraint_value in (0.05, 0.1, 0.2), name
+        res = online_learning(
+            agent, env, num_envs=4, max_steps=96,
+            learn_every_k_steps=8, learning_starts=32, seed=0,
+        )
+        assert int(res.agent_state.learner.step) > 0, name
+
+
+def test_visual_experiment_preset_shape():
+    from pearl_tpu.benchmarks.configs import METHODS, visual_experiments
+
+    exp = visual_experiments()
+    for name in exp["methods"]:
+        assert METHODS[name].env_family == "visual", name
