@@ -50,6 +50,37 @@ class PearlAgent:
     track_available_masks: bool = False  # store (B, A) masks in replay
     store_cost: bool = False
 
+    def __post_init__(self):
+        """Compatibility check + safety-module injection (reference:
+        pearl/pearl_agent.py:84-97, pearl/utils/compatibility_checks.py:19-31).
+
+        A distributional policy learner acts under a risk metric, so the
+        agent-level safety module must reach it: a risk-sensitive module
+        passed to the agent is injected into the learner's `safety` field;
+        the untouched default resolves to the learner's own (risk-neutral by
+        default) module so both views agree; anything else is a TypeError —
+        never a silently ignored config point."""
+        from pearl_tpu.safety_modules.risk_sensitive import RiskSensitiveSafetyModule
+
+        learner = self.policy_learner
+        if learner.is_distributional and hasattr(learner, "safety"):
+            if isinstance(self.safety_module, RiskSensitiveSafetyModule):
+                object.__setattr__(
+                    self,
+                    "policy_learner",
+                    dataclasses.replace(learner, safety=self.safety_module),
+                )
+            elif type(self.safety_module) is IdentitySafetyModule:
+                # Default left in place: mirror the reference's
+                # default_risk_sensitive_safety_module_type resolution.
+                object.__setattr__(self, "safety_module", learner.safety)
+            else:
+                raise TypeError(
+                    "A distributional policy learner requires a risk-sensitive "
+                    "safety module (reference compatibility_checks.py:19-31); "
+                    f"got {type(self.safety_module).__name__}."
+                )
+
     # ------------------------------------------------------------------ setup
     def for_env(self, env) -> "PearlAgent":
         """Bind the learner to the env's action space (must be called before
@@ -243,9 +274,22 @@ class PearlAgent:
         )
 
     def learn_batch(self, astate: AgentState, batch: TransitionBatch):
-        """Offline path (reference pearl_agent.py:224-233)."""
-        learner_state, metrics = self.policy_learner.learn_batch(astate.learner, batch)
-        safety_state, s_metrics = self.safety_module.learn_batch(astate.safety, batch)
+        """Offline path (reference pearl_agent.py:224-233): safety batch
+        transform (e.g. RC's reward - lambda*cost) -> learner preprocess ->
+        learner update -> safety update (the RC module trains its cost critic
+        and lambda from the same batch, using the learner's current policy)."""
+        if hasattr(self.safety_module, "batch_transform"):
+            batch = self.safety_module.batch_transform(astate.safety)(batch)
+        learner_batch = self.policy_learner.preprocess_batch(astate.learner, batch)
+        learner_state, metrics = self.policy_learner.learn_batch(
+            astate.learner, learner_batch
+        )
+        safety_state, s_metrics = self.safety_module.learn_batch(
+            astate.safety,
+            batch,
+            learner=self.policy_learner,
+            learner_state=learner_state,
+        )
         return astate.replace(learner=learner_state, safety=safety_state), {
             **metrics,
             **s_metrics,

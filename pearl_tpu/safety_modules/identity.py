@@ -4,10 +4,11 @@ identity_safety_module.py:22-56).
 Protocol:
     init(key, observation_dim, action_space, num_envs) -> SafetyState
     filter_action(state, subjective_state, mask) -> mask'       (act-time)
-    learn_batch(state, batch) -> (state', metrics)              (train-time)
+    learn_batch(state, batch, learner=, learner_state=)
+        -> (state', metrics)                                    (train-time)
 
 Risk-sensitive variants additionally map quantile distributions to scores
-(see risety_sensitive.py); the RC (reward-constrained) module preprocesses
+(see risk_sensitive.py); the RC (reward-constrained) module preprocesses
 rewards with a learned cost penalty (reward_constrained.py).
 """
 
@@ -29,7 +30,7 @@ class SafetyModule:
     ) -> Optional[jnp.ndarray]:
         return mask
 
-    def learn_batch(self, state, batch):
+    def learn_batch(self, state, batch, learner=None, learner_state=None):
         return state, {}
 
 

@@ -90,43 +90,51 @@ class RCSafetyModuleCostCriticContinuousAction(SafetyModule):
 
         return transform
 
-    def learn(self, state, buffer, buffer_state, key, learner, learner_state):
-        batch = buffer.sample(buffer_state, key, self.batch_size)
+    def _policy_action(self, learner, learner_state, subj, key, mask=None):
+        """Sample an action from the learner's CURRENT policy at the given
+        subjective states (reference :127-142 and :146-153 both query
+        `policy_learner._actor.sample_action`)."""
+        if learner.is_continuous:
+            low, high = learner.action_space.low, learner.action_space.high
+            action, _ = learner.actor.sample_action(
+                learner_state.actor_params, subj, key, low, high
+            )
+            return action
+        # Discrete policy: sample from the policy distribution over one-hot
+        # candidates; the cost critic consumes one-hot representations (see
+        # init).
+        B = subj.shape[0]
+        candidates = learner.represented_candidates(B)
+        probs = learner.actor.get_policy_distribution(
+            learner_state.actor_params, subj, candidates, mask
+        )
+        idx = jax.random.categorical(key, jnp.log(jnp.clip(probs, 1e-8, 1.0)), axis=-1)
+        return jnp.take_along_axis(
+            candidates,
+            jnp.broadcast_to(idx[:, None, None], (B, 1, candidates.shape[-1])),
+            axis=1,
+        )[:, 0]
+
+    def _update_from_batch(self, state, batch, learner, learner_state):
+        """One cost-critic + lambda update from a TransitionBatch — shared by
+        the online `learn` (sampled from replay, reference :114-132) and the
+        offline `learn_batch` path."""
         if batch.cost is None:
             return state, {}
         critic = self._critic()
-        k_pi, k_next = jax.random.split(state.key)
+        k_next_act, k_lam_act, k_new = jax.random.split(state.key, 3)
 
-        # Next action from the CURRENT policy (reference :127-142).
         next_subj = learner.history_summarizer.forward(
             learner_state.summarizer_params, batch.next_state
         )
+        next_action = self._policy_action(
+            learner, learner_state, next_subj, k_next_act, batch.next_available_mask
+        )
         if learner.is_continuous:
-            low, high = learner.action_space.low, learner.action_space.high
-            next_action, _ = learner.actor.sample_action(
-                learner_state.actor_params, next_subj, k_pi, low, high
-            )
             batch_action = batch.action
         else:
-            # Discrete policy: sample the next action from the policy
-            # distribution over one-hot candidates; the cost critic consumes
-            # one-hot representations (see init).
-            B = next_subj.shape[0]
+            B = batch.reward.shape[0]
             candidates = learner.represented_candidates(B)
-            probs = learner.actor.get_policy_distribution(
-                learner_state.actor_params,
-                next_subj,
-                candidates,
-                batch.next_available_mask,
-            )
-            idx = jax.random.categorical(
-                k_pi, jnp.log(jnp.clip(probs, 1e-8, 1.0)), axis=-1
-            )
-            next_action = jnp.take_along_axis(
-                candidates,
-                jnp.broadcast_to(idx[:, None, None], (B, 1, candidates.shape[-1])),
-                axis=1,
-            )[:, 0]
             batch_action = jnp.take_along_axis(
                 candidates,
                 jnp.broadcast_to(
@@ -135,8 +143,9 @@ class RCSafetyModuleCostCriticContinuousAction(SafetyModule):
                 axis=1,
             )[:, 0]
         q1t, q2t = critic.q_both(state.critic_target_params, next_subj, next_action)
-        # MAX of the twin targets — pessimistic for costs (reference :143-151).
-        q_target = jnp.maximum(q1t, q2t)
+        # Clipped double-Q: MIN of the twin targets for the cost-Bellman
+        # target (reference cost_critic_learn_batch :180-196).
+        q_target = jnp.minimum(q1t, q2t)
         not_done = 1.0 - batch.terminated.astype(jnp.float32)
         y = jax.lax.stop_gradient(
             batch.cost + self.cost_discount_factor * not_done * q_target
@@ -160,8 +169,13 @@ class RCSafetyModuleCostCriticContinuousAction(SafetyModule):
             params,
         )
 
-        # Lambda update on the max-twin cost estimate (reference :163-199).
-        q1, q2 = critic.q_both(params, subj, batch_action)
+        # Lambda update on the MAX-twin cost estimate of the current policy's
+        # action at the batch states — pessimistic for constraints (reference
+        # constraint_lambda_update :136-160).
+        a_pi = self._policy_action(
+            learner, learner_state, subj, k_lam_act, batch.curr_available_mask
+        )
+        q1, q2 = critic.q_both(params, subj, a_pi)
         cost_q = jnp.mean(jnp.maximum(q1, q2))
         lam = jnp.clip(
             state.lagrangian
@@ -176,7 +190,20 @@ class RCSafetyModuleCostCriticContinuousAction(SafetyModule):
                 critic_target_params=target,
                 critic_opt=opt,
                 lagrangian=lam,
-                key=k_next,
+                key=k_new,
             ),
             {"cost_critic_loss": loss, "lambda": lam},
         )
+
+    def learn(self, state, buffer, buffer_state, key, learner, learner_state):
+        batch = buffer.sample(buffer_state, key, self.batch_size)
+        return self._update_from_batch(state, batch, learner, learner_state)
+
+    def learn_batch(self, state, batch, learner=None, learner_state=None):
+        """Offline RC training (goes beyond the reference, whose learn_batch
+        is a stub, reference :221-228): train the cost critic and lambda from
+        the given batch so `PearlAgent.learn_batch` drives real constraint
+        learning."""
+        if learner is None or learner_state is None:
+            return state, {}
+        return self._update_from_batch(state, batch, learner, learner_state)

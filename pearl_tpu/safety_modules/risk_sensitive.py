@@ -2,10 +2,11 @@
 pearl/safety_modules/risk_sensitive_safety_modules.py:28-182).
 
 These map a quantile-distributional Q representation (B, A, N) to scalar
-action scores. The reference injects the safety module into the policy
-learner (pearl_agent.py:97) and QR-DQN calls
-`get_q_values_under_risk_metric` during act/learn; here the QR learner config
-holds the risk module directly (same composition, explicit wiring).
+action scores. Exactly like the reference (pearl_agent.py:97), the agent
+injects its safety module into the policy learner at construction
+(`PearlAgent.__post_init__`), so a risk-sensitive module passed to
+`PearlAgent(safety_module=...)` reaches QR-DQN's acting and learning; the
+learner's own `safety=` field remains for standalone (agent-less) use.
 """
 
 from __future__ import annotations

@@ -21,16 +21,20 @@ from pearl_tpu.training import online_learning
 
 def _train_qrdqn(safety, steps=3000):
     env = MeanVarBanditEnvironment()
+    # The risk module is passed at the AGENT level; PearlAgent.__post_init__
+    # injects it into the distributional learner (reference
+    # pearl_agent.py:97), so QR-DQN's acting/learning sees it.
     agent = PearlAgent(
         policy_learner=QuantileRegressionDeepQLearning(
             training_rounds=2,
             batch_size=64,
-            safety=safety,
             exploration=EGreedyExploration(epsilon=0.3),
             discount_factor=0.0,  # bandit: single-step episodes
         ),
         replay_buffer=BasicReplayBuffer(capacity=2048),
+        safety_module=safety,
     )
+    assert agent.policy_learner.safety is safety  # injection happened
     res = online_learning(
         agent, env, num_envs=8, max_steps=steps * 8, learn_every_k_steps=2,
         learning_starts=256, seed=0,

@@ -40,6 +40,89 @@ def test_rc_safety_module_learns_lambda():
     assert costs.max() > 0.0
 
 
+def test_safety_module_injection_and_compatibility_check():
+    """Agent-level safety wiring (reference pearl_agent.py:84-97 +
+    compatibility_checks.py:19-31): a risk-sensitive module reaches the
+    distributional learner; the default resolves to the learner's own module;
+    an incompatible module is a TypeError, never silently ignored."""
+    import pytest
+
+    from pearl_tpu.policy_learners.sequential_decision_making import (
+        QuantileRegressionDeepQLearning,
+    )
+    from pearl_tpu.safety_modules import (
+        IdentitySafetyModule,
+        QuantileNetworkMeanVarianceSafetyModule,
+        RiskNeutralSafetyModule,
+    )
+
+    mv = QuantileNetworkMeanVarianceSafetyModule(variance_weighting_coefficient=0.7)
+    agent = PearlAgent(
+        policy_learner=QuantileRegressionDeepQLearning(), safety_module=mv
+    )
+    assert agent.policy_learner.safety is mv
+
+    default = PearlAgent(policy_learner=QuantileRegressionDeepQLearning())
+    assert isinstance(default.safety_module, RiskNeutralSafetyModule)
+    assert default.safety_module is default.policy_learner.safety
+
+    with pytest.raises(TypeError):
+        PearlAgent(
+            policy_learner=QuantileRegressionDeepQLearning(),
+            safety_module=RCSafetyModuleCostCriticContinuousAction(),
+        )
+
+    # Non-distributional learners are unaffected by an identity module.
+    plain = PearlAgent(
+        policy_learner=ContinuousSoftActorCritic(),
+        safety_module=IdentitySafetyModule(),
+    )
+    assert isinstance(plain.safety_module, IdentitySafetyModule)
+
+
+def test_offline_rc_learns_cost_critic_and_lambda():
+    """Offline RC training: `PearlAgent.learn_batch` applies the RC batch
+    transform (reward - lambda*cost) and the RC module's `learn_batch` trains
+    the cost critic + lambda (the reference's learn_batch is a stub,
+    reward_constrained_safety_module.py:221-228 — this is the VERDICT-required
+    extension)."""
+    from pearl_tpu.training.offline import offline_learning, transitions_from_arrays
+
+    rng = np.random.RandomState(0)
+    n = 512
+    batch = transitions_from_arrays(
+        state=rng.randn(n, 3).astype(np.float32),
+        action=rng.uniform(-2, 2, (n, 1)).astype(np.float32),
+        reward=-np.abs(rng.randn(n)).astype(np.float32),
+        next_state=rng.randn(n, 3).astype(np.float32),
+        terminated=np.zeros((n,), bool),
+        action_index=np.zeros((n,), np.int32),
+        cost=np.abs(rng.randn(n)).astype(np.float32) + 0.5,  # every step costly
+    )
+    env = Pendulum()
+    agent = PearlAgent(
+        policy_learner=ContinuousSoftActorCritic(),
+        safety_module=RCSafetyModuleCostCriticContinuousAction(
+            constraint_value=0.01, lr_lambda=0.1
+        ),
+        store_cost=True,
+    ).for_env(env)
+    astate = agent.init(jax.random.PRNGKey(0), 3, 1, np.zeros((1, 3), np.float32))
+    critic0 = jax.tree.leaves(astate.safety.critic_params)[0].copy()
+
+    buffer = BasicReplayBuffer(capacity=n)
+    example = jax.tree.map(lambda x: x[:1] if x is not None else None, batch)
+    buf_state = buffer.push(buffer.init(example), batch)
+    astate = offline_learning(
+        agent, astate, buffer, buf_state,
+        number_of_batches=50, batch_size=64, log_every=25,
+    )
+    lam = float(astate.safety.lagrangian)
+    assert lam > 0.0  # costs exceed the tiny constraint -> lambda grew
+    critic1 = jax.tree.leaves(astate.safety.critic_params)[0]
+    assert not np.allclose(np.asarray(critic0), np.asarray(critic1))  # trained
+
+
 def test_online_learning_reports_cost_and_risky_metrics():
     """Reference run_episode returns `return_cost` and `risky_sa_ratio`
     (online_learning.py:312-321); our OnlineResult carries them per episode."""
