@@ -98,11 +98,16 @@ class LinearRegression:
         do = state.weight_since_discount >= self.apply_discounting_interval
         scale = jnp.where(do, self.gamma, 1.0)
         ridge = self.l2_reg_lambda * jnp.eye(self.dim)
-        # Discount only the data part of A, keeping the ridge prior intact.
+        # Discount only the data part of A, keeping the ridge prior intact —
+        # the reference stores _A ridge-free (zeros init, linear_regression.py
+        # :71-73) and adds the ridge in the `A` property (:91-96), so its
+        # apply_discounting (:222-239) never touches the prior either.
+        # sum_weight is NOT discounted (reference: "don't discount sum_weight
+        # because it's used to determine when to apply discounting").
         return LinearRegressionState(
             A=(state.A - ridge) * scale + ridge,
             b=state.b * scale,
-            sum_weight=state.sum_weight * scale,
+            sum_weight=state.sum_weight,
             weight_since_discount=jnp.where(do, 0.0, state.weight_since_discount),
         )
 

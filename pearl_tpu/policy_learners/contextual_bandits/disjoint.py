@@ -2,13 +2,23 @@
 pearl/policy_learners/contextual_bandits/disjoint_bandit.py:77-287 and the
 deprecated disjoint_linear_bandit.py).
 
-One independent LinearRegression per arm over STATE features. The reference
-partitions each batch by action index in Python and feeds a "null batch" to
-empty arms (:77-162); here every arm updates every step with per-arm weights
-w * 1{action_index == arm} — a zero-weight update leaves the sufficient
-statistics untouched, so no partitioning, no ragged shapes, and the whole
-container updates as one vmapped op (replacing `ensemble_forward`'s Python
-loop, :172-201)."""
+One independent bandit learner per arm over STATE features. The reference
+composes arbitrary `ContextualBanditBase` learners per arm, partitions each
+batch by action index in Python, and feeds a "null batch" to empty arms
+(:77-162); acting runs `ensemble_forward` over the arm models (:172-201).
+Here arm states are ONE stacked pytree (leading axis = num_arms) and every
+arm updates every step with per-arm weights w * 1{action_index == arm} — a
+zero-weight update leaves a closed-form arm's sufficient statistics untouched
+(and gives a neural arm the same zero-gradient step the reference's null
+batch does), so no partitioning, no ragged shapes, and the whole container
+updates as one vmapped op.
+
+`arm_learner` selects the per-arm model via the arm protocol
+(arm_init/arm_mu_sigma/arm_update, implemented by LinearBandit and
+NeuralBandit); the default is LinearBandit arms — the reference ground-truth
+tests' configuration. 3-D per-arm states `(B, num_arms, f)` are supported
+like the reference (:92-100): arm i sees state[:, i, :].
+"""
 
 from __future__ import annotations
 
@@ -19,72 +29,80 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from pearl_tpu.neural_networks.contextual_bandit import LinearRegression
 from pearl_tpu.policy_learners.contextual_bandits.base import ContextualBanditBase
+from pearl_tpu.policy_learners.contextual_bandits.linear_bandit import LinearBandit
 
 
 @struct.dataclass
 class DisjointBanditState:
-    models: Any  # stacked LinearRegressionState, leading axis = num_arms
+    models: Any  # stacked per-arm states, every leaf's leading axis = num_arms
     explore_state: Any
     summarizer_params: Any = struct.field(default_factory=dict)
 
 
 @dataclasses.dataclass(frozen=True, kw_only=True, eq=False)
 class DisjointBanditContainer(ContextualBanditBase):
-    l2_reg_lambda: float = 1.0
+    # Per-arm learner providing the arm protocol. Homogeneous arms (the
+    # reference's tests and benchmarks always use one type) vectorize into a
+    # single vmapped update/forward — the TPU-native ensemble_forward.
+    arm_learner: Any = dataclasses.field(default_factory=LinearBandit)
+    l2_reg_lambda: float = 1.0  # convenience for default LinearBandit arms
     state_features_only: bool = True  # disjoint arms score the raw context
 
-    def _model(self, observation_dim: int) -> LinearRegression:
-        return LinearRegression(
-            feature_dim=self.feature_dim(observation_dim),
-            l2_reg_lambda=self.l2_reg_lambda,
-        )
+    def __post_init__(self):
+        if (
+            isinstance(self.arm_learner, LinearBandit)
+            and self.l2_reg_lambda != 1.0
+            and self.arm_learner.l2_reg_lambda == 1.0
+        ):
+            object.__setattr__(
+                self,
+                "arm_learner",
+                dataclasses.replace(self.arm_learner, l2_reg_lambda=self.l2_reg_lambda),
+            )
 
     def init(self, key, observation_dim, action_space, num_envs):
-        model = self._model(observation_dim)
+        f = self.feature_dim(observation_dim)
         num_arms = action_space.n
-        models = jax.vmap(lambda _: model.init())(jnp.arange(num_arms))
+        keys = jax.random.split(key, num_arms)
+        models = jax.vmap(lambda k: self.arm_learner.arm_init(k, f))(keys)
         return DisjointBanditState(
             models=models, explore_state=self.exploration.init(num_envs)
         )
 
-    def _model_for(self, state) -> LinearRegression:
-        return LinearRegression(
-            feature_dim=int(state.models.A.shape[-1]) - 1,
-            l2_reg_lambda=self.l2_reg_lambda,
-        )
-
     def mu_sigma(self, state: DisjointBanditState, features):
         # features: (B, A, f) — per-arm contexts (identical state features for
-        # plain disjoint; 3-D per-arm states supported naturally).
-        model = self._model_for(state)
-
-        def per_arm(arm_state, arm_feats):
-            mu = model.predict(arm_state, arm_feats)
-            sigma = model.calculate_sigma(arm_state, arm_feats)
-            return mu, sigma
-
-        mu, sigma = jax.vmap(per_arm, in_axes=(0, 1), out_axes=1)(
-            state.models, features
-        )
+        # plain disjoint; 3-D per-arm states arrive here naturally).
+        mu, sigma = jax.vmap(
+            self.arm_learner.arm_mu_sigma, in_axes=(0, 1), out_axes=1
+        )(state.models, features)
         return mu, sigma
 
     @property
     def on_policy(self) -> bool:
-        return True  # closed-form stats: fold each observation in once
+        # Matches the most restrictive arm type (closed-form stats fold each
+        # observation in once); neural arms tolerate it.
+        return True
+
+    def _per_arm_feats(self, batch):
+        """(B, f) shared features or (B, A, f) per-arm features."""
+        if batch.state.ndim == 3:
+            return batch.state  # per-arm states (reference :92-100)
+        return self.batch_features(batch)
 
     def learn_batch(self, state: DisjointBanditState, batch):
-        feats = self.batch_features(batch)  # (B, f) of the taken action's arm
+        feats = self._per_arm_feats(batch)
         weight = batch.weight if batch.weight is not None else jnp.ones_like(batch.reward)
-        num_arms = int(state.models.A.shape[0])
-        model = self._model_for(state)
+        num_arms = jax.tree.leaves(state.models)[0].shape[0]
 
-        def per_arm(arm_state, arm_idx):
+        def per_arm(arm_state, arm_feats, arm_idx):
             w = weight * (batch.action_index == arm_idx).astype(jnp.float32)
-            return model.update(arm_state, feats, batch.reward, w)
+            return self.arm_learner.arm_update(arm_state, arm_feats, batch.reward, w)
 
-        models = jax.vmap(per_arm)(state.models, jnp.arange(num_arms))
+        feats_axis = 1 if feats.ndim == 3 else None
+        models = jax.vmap(per_arm, in_axes=(0, feats_axis, 0))(
+            state.models, feats, jnp.arange(num_arms)
+        )
         return state.replace(models=models), {}
 
     def learn(self, state, buffer, buffer_state, key):

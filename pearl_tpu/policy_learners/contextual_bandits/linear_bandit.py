@@ -86,6 +86,28 @@ class LinearBandit(ContextualBanditBase):
         loss = jnp.mean((mu - batch.reward) ** 2)
         return state.replace(model=new_model), {"mse": loss}
 
+    # --- per-arm protocol for DisjointBanditContainer --------------------
+    def _arm_model(self, feature_dim: int) -> LinearRegression:
+        return LinearRegression(
+            feature_dim=feature_dim,
+            l2_reg_lambda=self.l2_reg_lambda,
+            gamma=self.gamma,
+            apply_discounting_interval=self.apply_discounting_interval,
+            pmean_axis=self.pmean_axis,
+        )
+
+    def arm_init(self, key, feature_dim: int):
+        del key  # closed-form model: no random init
+        return self._arm_model(feature_dim).init()
+
+    def arm_mu_sigma(self, arm_state, feats: jnp.ndarray):
+        model = self._arm_model(int(arm_state.A.shape[-1]) - 1)
+        return model.predict(arm_state, feats), model.calculate_sigma(arm_state, feats)
+
+    def arm_update(self, arm_state, feats, reward, weight):
+        model = self._arm_model(int(arm_state.A.shape[-1]) - 1)
+        return model.update(arm_state, feats, reward, weight)
+
     def learn(self, state, buffer, buffer_state, key):
         """Consume the WHOLE buffer exactly once, weighting invalid slots 0.
 

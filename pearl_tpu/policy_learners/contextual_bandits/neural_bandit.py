@@ -83,3 +83,25 @@ class NeuralBandit(ContextualBanditBase):
         updates, opt_state = self.optimizer().update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return state.replace(params=params, opt_state=opt_state), {"loss": loss}
+
+    # --- per-arm protocol for DisjointBanditContainer --------------------
+    # (the reference composes arbitrary ContextualBanditBase learners per arm,
+    # disjoint_bandit.py:77-162; here arm states are stacked pytrees the
+    # container vmaps over — its `ensemble_forward` analog, :172-201)
+    def arm_init(self, key, feature_dim: int):
+        params = self._net().init(key, jnp.zeros((1, feature_dim)))["params"]
+        return {"params": params, "opt": self.optimizer().init(params)}
+
+    def arm_mu_sigma(self, arm_state, feats: jnp.ndarray):
+        mu = self._predict(arm_state["params"], feats)
+        return mu, jnp.zeros_like(mu)
+
+    def arm_update(self, arm_state, feats, reward, weight):
+        def loss_fn(params):
+            return self._loss(self._predict(params, feats), reward, weight)
+
+        _, grads = jax.value_and_grad(loss_fn)(arm_state["params"])
+        updates, opt = self.optimizer().update(
+            grads, arm_state["opt"], arm_state["params"]
+        )
+        return {"params": optax.apply_updates(arm_state["params"], updates), "opt": opt}

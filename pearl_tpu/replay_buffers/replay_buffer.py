@@ -84,6 +84,17 @@ class BasicReplayBuffer:
         """
         del key
         n = batch.reward.shape[0]
+        if self.capacity % n != 0:
+            import warnings
+
+            warnings.warn(
+                f"Replay capacity {self.capacity} is not a multiple of the push "
+                f"batch size {n}: the bump-ring write restarts at slot 0 when a "
+                f"batch would not fit, so the last capacity % n = "
+                f"{self.capacity % n} slots are never written or sampled. Use "
+                f"capacity = k * {n} for the full capacity.",
+                stacklevel=2,
+            )
         start = jnp.where(state.cursor + n <= self.capacity, state.cursor, 0)
         storage = jax.tree.map(
             lambda buf, v: jax.lax.dynamic_update_slice_in_dim(

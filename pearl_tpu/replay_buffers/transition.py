@@ -37,6 +37,9 @@ class TransitionBatch:
     next_action_index: Optional[jnp.ndarray] = None  # (B,) — SARSA
     weight: Optional[jnp.ndarray] = None  # (B,)
     cost: Optional[jnp.ndarray] = None  # (B,)
+    # Steps between state and next_state (reference transition.py:46 — used
+    # for multi-step bootstrapping; defaults to 1 when absent).
+    time_diff: Optional[jnp.ndarray] = None  # (B,)
     bootstrap_mask: Optional[jnp.ndarray] = None  # (B, K) — BootstrapReplayBuffer
 
     @property

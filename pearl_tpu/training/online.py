@@ -7,12 +7,27 @@ compiled program: one *chunk* = `learn_every_k_steps` vectorized env steps
 The host loop only orchestrates chunks and collects episode statistics, giving
 `target_return_is_reached`-style early stopping (online_learning.py:169-235)
 without breaking the device-side hot path.
+
+Two statistics modes (`stats=`):
+
+- "full" (default): every step's (done, return, cost, risky) for every env is
+  packed into one array and fetched per dispatch — exact per-episode curves,
+  the mode every test/benchmark consumer uses. Payload is
+  4 * steps * num_envs floats per dispatch, which dominates wall-clock at
+  very large env counts.
+- "summary": episode accounting stays ON DEVICE. The carry tracks each env's
+  most recent finished-episode return plus cumulative finished-episode
+  aggregates, and the host fetches a 6-float summary per chunk. The early-stop
+  window statistic becomes "mean over envs of the most recent finished
+  episode" (with num_envs >= target_window this is a moving window of at
+  least target_window recent episodes). This is the production/throughput
+  mode: the host <-> device traffic per dispatch is O(chunks), independent of
+  num_envs and steps.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
@@ -21,6 +36,14 @@ import numpy as np
 
 from pearl_tpu.agent.pearl_agent import AgentState, PearlAgent
 from pearl_tpu.envs.vector import VectorEnv
+
+# Columns of the summary-mode per-chunk stats vector.
+_S_TOTAL_FIN = 0  # finished episodes so far (cumulative)
+_S_SUM_RET = 1  # sum of finished-episode returns (cumulative)
+_S_RECENT = 2  # mean over envs of most recent finished-episode return
+_S_SUM_COST = 3  # sum of finished-episode costs (cumulative)
+_S_SUM_RISKY = 4  # sum of finished-episode risky ratios (cumulative)
+_S_ENVS_FIN = 5  # number of envs with >= 1 finished episode
 
 
 @dataclasses.dataclass
@@ -35,6 +58,12 @@ class OnlineResult:
     # All-zero when the env emits no cost.
     episode_costs: np.ndarray = None
     episode_risky_ratios: np.ndarray = None
+    # Summary-mode extras (stats="summary"): per-chunk trace of the
+    # recent-return statistic (a coarse learning curve) and cumulative
+    # episode aggregates. episode_returns is empty in summary mode.
+    return_curve: np.ndarray = None
+    total_episodes: int = 0
+    mean_return: float = 0.0
 
 
 def _make_chunk_fn(
@@ -44,9 +73,11 @@ def _make_chunk_fn(
     do_learn: bool,
     exploit: bool,
     chunks_per_dispatch: int = 1,
+    summary: bool = False,
 ):
     def env_step(carry, k):
-        astate, env_states, ep_ret, ep_cost, ep_risky, ep_len = carry
+        astate, env_states, ep_ret, aux = carry
+        ep_cost, ep_risky, ep_len = aux[0], aux[1], aux[2]
         k_act, k_env, k_obs = jax.random.split(k, 3)
         astate, choice = agent.act(astate, k_act, exploit=exploit)
         env_states, result, next_obs = venv.step(env_states, choice.action, k_env)
@@ -57,30 +88,57 @@ def _make_chunk_fn(
         ep_cost = ep_cost + cost
         ep_risky = ep_risky + risky.astype(jnp.float32)
         ep_len = ep_len + 1.0
-        out = (result.done, ep_ret, ep_cost, ep_risky / jnp.maximum(ep_len, 1.0))
-        reset = result.done
-        ep_ret = jnp.where(reset, 0.0, ep_ret)
-        ep_cost = jnp.where(reset, 0.0, ep_cost)
-        ep_risky = jnp.where(reset, 0.0, ep_risky)
-        ep_len = jnp.where(reset, 0.0, ep_len)
-        return (astate, env_states, ep_ret, ep_cost, ep_risky, ep_len), out
+        done = result.done
+        risky_ratio = ep_risky / jnp.maximum(ep_len, 1.0)
+        if summary:
+            last_ret, envs_fin, agg = aux[3], aux[4], aux[5]
+            d = done.astype(jnp.float32)
+            last_ret = jnp.where(done, ep_ret, last_ret)
+            envs_fin = envs_fin | done
+            agg = agg + jnp.stack(
+                [
+                    jnp.sum(d),
+                    jnp.sum(ep_ret * d),
+                    jnp.sum(ep_cost * d),
+                    jnp.sum(risky_ratio * d),
+                ]
+            )
+            out = None
+        else:
+            out = (done, ep_ret, ep_cost, risky_ratio)
+        ep_ret = jnp.where(done, 0.0, ep_ret)
+        ep_cost = jnp.where(done, 0.0, ep_cost)
+        ep_risky = jnp.where(done, 0.0, ep_risky)
+        ep_len = jnp.where(done, 0.0, ep_len)
+        aux = (
+            (ep_cost, ep_risky, ep_len, last_ret, envs_fin, agg)
+            if summary
+            else (ep_cost, ep_risky, ep_len)
+        )
+        return (astate, env_states, ep_ret, aux), out
 
     def one_chunk(carry, key):
-        astate, env_states, ep_ret, (ep_cost, ep_risky, ep_len) = carry
+        astate, env_states, ep_ret, aux = carry
         keys = jax.random.split(key, steps_per_chunk + 1)
-        (astate, env_states, ep_ret, ep_cost, ep_risky, ep_len), outs = jax.lax.scan(
-            env_step, (astate, env_states, ep_ret, ep_cost, ep_risky, ep_len), keys[:-1]
+        (astate, env_states, ep_ret, aux), outs = jax.lax.scan(
+            env_step, (astate, env_states, ep_ret, aux), keys[:-1]
         )
-        dones, ep_returns, ep_costs, risky_ratios = outs
         if do_learn:
             astate, _metrics = agent.learn(astate, keys[-1])
-        # Pack every host-bound statistic into ONE array: the host loop pays
-        # one device->host fetch per dispatch instead of four (each fetch is
-        # a full round-trip; see docs/DESIGN.md §4 on dispatch latency).
-        stats = jnp.stack(
-            [dones.astype(jnp.float32), ep_returns, ep_costs, risky_ratios]
-        )
-        return (astate, env_states, ep_ret, (ep_cost, ep_risky, ep_len)), stats
+        if summary:
+            last_ret, envs_fin, agg = aux[3], aux[4], aux[5]
+            n_fin = jnp.sum(envs_fin.astype(jnp.float32))
+            recent = jnp.sum(last_ret * envs_fin) / jnp.maximum(n_fin, 1.0)
+            stats = jnp.stack([agg[0], agg[1], recent, agg[2], agg[3], n_fin])
+        else:
+            dones, ep_returns, ep_costs, risky_ratios = outs
+            # Pack every host-bound statistic into ONE array: the host loop
+            # pays one device->host fetch per dispatch instead of four (each
+            # fetch is a full round-trip; see docs/DESIGN.md §4).
+            stats = jnp.stack(
+                [dones.astype(jnp.float32), ep_returns, ep_costs, risky_ratios]
+            )
+        return (astate, env_states, ep_ret, aux), stats
 
     @jax.jit
     def run_chunk(astate, env_states, ep_ret, ep_aux, key):
@@ -95,8 +153,9 @@ def _make_chunk_fn(
         (astate, env_states, ep_ret, ep_aux), stats = jax.lax.scan(
             one_chunk, (astate, env_states, ep_ret, ep_aux), keys
         )
-        # (C, 4, steps, B) -> (4, C*steps, B): chunk-order-preserving flatten.
-        stats = jnp.swapaxes(stats, 0, 1).reshape(4, -1, stats.shape[-1])
+        if not summary:
+            # (C, 4, steps, B) -> (4, C*steps, B): chunk-order-preserving.
+            stats = jnp.swapaxes(stats, 0, 1).reshape(4, -1, stats.shape[-1])
         return astate, env_states, ep_ret, ep_aux, stats
 
     return run_chunk
@@ -119,6 +178,7 @@ def online_learning(
     agent_state: Optional[AgentState] = None,
     env_states=None,
     verbose: bool = False,
+    stats: str = "full",
 ) -> OnlineResult:
     """Run vectorized online learning until `max_steps` total env steps or the
     moving-average episode return over the last `target_window` finished
@@ -128,7 +188,14 @@ def online_learning(
     one compiled dispatch (the reference's `record_period` analog,
     online_learning.py:110-135): raise it when host dispatch latency
     dominates (e.g. 16+ on TPU); early stopping then has dispatch
-    granularity."""
+    granularity.
+
+    `stats="summary"` keeps episode accounting on device (see module
+    docstring) — early stopping stays active, host traffic per dispatch drops
+    to O(chunks_per_dispatch) floats."""
+    if stats not in ("full", "summary"):
+        raise ValueError(f"stats must be 'full' or 'summary', got {stats!r}")
+    summary = stats == "summary"
     agent = agent.for_env(env)
     venv = VectorEnv(env, num_envs)
     key = jax.random.PRNGKey(seed)
@@ -161,11 +228,11 @@ def online_learning(
             )
 
     run_chunk = _make_chunk_fn(
-        agent, venv, learn_every_k_steps, learn, exploit, chunks_per_dispatch
+        agent, venv, learn_every_k_steps, learn, exploit, chunks_per_dispatch, summary
     )
     warm_chunk = (
         _make_chunk_fn(
-            agent, venv, learn_every_k_steps, False, exploit, chunks_per_dispatch
+            agent, venv, learn_every_k_steps, False, exploit, chunks_per_dispatch, summary
         )
         if learning_starts > 0
         else None
@@ -173,20 +240,44 @@ def online_learning(
 
     ep_ret = jnp.zeros((num_envs,))
     ep_aux = (jnp.zeros((num_envs,)), jnp.zeros((num_envs,)), jnp.zeros((num_envs,)))
+    if summary:
+        ep_aux = ep_aux + (
+            jnp.zeros((num_envs,)),  # last finished-episode return per env
+            jnp.zeros((num_envs,), bool),  # env finished >= 1 episode
+            jnp.zeros((4,)),  # cumulative [n_fin, sum_ret, sum_cost, sum_risky]
+        )
     finished: list = []
     finished_costs: list = []
     finished_risky: list = []
+    curve: list = []
+    last_summary = np.zeros((6,))
     total = 0
     reached = False
 
     def consume(stats_dev, steps_done):
-        """Fetch one chunk's packed stats and fold finished episodes in."""
-        nonlocal reached
-        stats = np.asarray(stats_dev)
-        d = stats[0].reshape(-1) > 0.5
-        finished.extend(stats[1].reshape(-1)[d].tolist())
-        finished_costs.extend(stats[2].reshape(-1)[d].tolist())
-        finished_risky.extend(stats[3].reshape(-1)[d].tolist())
+        """Fetch one dispatch's stats and fold finished episodes in."""
+        nonlocal reached, last_summary
+        arr = np.asarray(stats_dev)
+        if summary:
+            rows = arr.reshape(-1, 6)
+            curve.extend(rows[:, _S_RECENT].tolist())
+            last_summary = rows[-1]
+            if verbose:
+                print(
+                    f"steps={steps_done} episodes={int(last_summary[_S_TOTAL_FIN])} "
+                    f"recent_return={last_summary[_S_RECENT]:.1f}"
+                )
+            if target_return is not None:
+                hit = (rows[:, _S_TOTAL_FIN] >= target_window) & (
+                    rows[:, _S_RECENT] >= target_return
+                )
+                if hit.any():
+                    reached = True
+            return
+        d = arr[0].reshape(-1) > 0.5
+        finished.extend(arr[1].reshape(-1)[d].tolist())
+        finished_costs.extend(arr[2].reshape(-1)[d].tolist())
+        finished_risky.extend(arr[3].reshape(-1)[d].tolist())
         if verbose and finished:
             window = finished[-target_window:]
             print(
@@ -199,9 +290,9 @@ def online_learning(
 
     # Read-behind pipeline: dispatch chunk i+1 before fetching chunk i's
     # stats, so the (async-dispatched) device program runs while the host
-    # blocks on the previous chunk's single stats transfer. Early stopping
-    # therefore lags one chunk — the extra chunk's episodes are still folded
-    # into the result below.
+    # blocks on the previous chunk's stats transfer. Early stopping therefore
+    # lags one dispatch — the extra dispatch's episodes are still folded into
+    # the result below.
     pending = None  # (stats_device_array, total_steps_after_that_chunk)
     while total < max_steps and not reached:
         key, k = jax.random.split(key)
@@ -215,6 +306,20 @@ def online_learning(
         pending = (stats_dev, total)
     if pending is not None:
         consume(*pending)
+    if summary:
+        n_ep = int(last_summary[_S_TOTAL_FIN])
+        return OnlineResult(
+            episode_returns=np.zeros((0,)),
+            total_steps=total,
+            agent_state=agent_state,
+            env_states=env_states,
+            reached_target=reached,
+            episode_costs=np.zeros((0,)),
+            episode_risky_ratios=np.zeros((0,)),
+            return_curve=np.asarray(curve),
+            total_episodes=n_ep,
+            mean_return=float(last_summary[_S_SUM_RET] / max(n_ep, 1)),
+        )
     return OnlineResult(
         episode_returns=np.asarray(finished),
         total_steps=total,

@@ -50,6 +50,39 @@ def test_linear_regression_matches_closed_form():
     assert float(lr_r.calculate_sigma(s1, x0)[0]) < float(lr_r.calculate_sigma(s0, x0)[0])
 
 
+def test_linear_regression_discounting_matches_reference_ground_truth():
+    """Replays the reference's exact discounting protocol in numpy
+    (linear_regression.py:222-239 apply_discounting on ridge-free _A/_b;
+    linear_bandit.py:123-140 trigger on accumulated sum_weight) and checks
+    our jitted stream produces the same coefficients."""
+    rng = np.random.RandomState(7)
+    gamma, interval, lam, d = 0.8, 10.0, 1.0, 3
+    lr = LinearRegression(
+        feature_dim=d, l2_reg_lambda=lam, gamma=gamma, apply_discounting_interval=interval
+    )
+    state = lr.init()
+
+    A_ref = np.zeros((d + 1, d + 1))  # reference stores _A WITHOUT ridge
+    b_ref = np.zeros(d + 1)
+    sum_w, last_discount_w = 0.0, 0.0
+    for _ in range(12):
+        X = rng.randn(4, d).astype(np.float32)
+        y = rng.randn(4).astype(np.float32)
+        w = rng.uniform(0.5, 1.5, 4).astype(np.float32)
+        state = lr.update(state, jnp.asarray(X), jnp.asarray(y), jnp.asarray(w))
+        Xe = np.concatenate([np.ones((4, 1)), X], axis=1)
+        A_ref += (Xe * w[:, None]).T @ Xe
+        b_ref += (Xe * w[:, None]).T @ y
+        sum_w += w.sum()
+        if sum_w - last_discount_w >= interval:
+            A_ref *= gamma
+            b_ref *= gamma
+            last_discount_w = sum_w
+    coefs_ref = np.linalg.solve(A_ref + lam * np.eye(d + 1), b_ref)
+    np.testing.assert_allclose(np.asarray(lr.coefs(state)), coefs_ref, atol=1e-4)
+    np.testing.assert_allclose(float(state.sum_weight), sum_w, rtol=1e-5)
+
+
 def test_linear_regression_thompson_sampling_spread():
     lr = LinearRegression(feature_dim=2)
     state = lr.init()
@@ -110,6 +143,104 @@ def test_mab_ten_times_action():
         exploit=True,
     )
     assert np.all(np.asarray(choice.index) == 3)
+
+
+def _disjoint_ground_truth_batch(num_arms=3, feat=4, n=4096, seed=0, per_arm_states=False):
+    """Per-arm linear ground truth r = w_arm . x, mirroring the reference's
+    test_disjoint_bandit_container_learning_from_ground_truth.py."""
+    from pearl_tpu.replay_buffers.transition import TransitionBatch
+
+    rng = np.random.RandomState(seed)
+    W = rng.uniform(-1, 1, (num_arms, feat)).astype(np.float32)
+    if per_arm_states:
+        state = rng.uniform(-1, 1, (n, num_arms, feat)).astype(np.float32)
+    else:
+        state = rng.uniform(-1, 1, (n, feat)).astype(np.float32)
+    idx = rng.randint(0, num_arms, (n,)).astype(np.int32)
+    x_taken = state[np.arange(n), idx] if per_arm_states else state
+    reward = np.einsum("nf,nf->n", x_taken, W[idx]).astype(np.float32)
+    batch = TransitionBatch(
+        state=jnp.asarray(state),
+        action=jnp.asarray(idx[:, None], jnp.float32),
+        reward=jnp.asarray(reward),
+        next_state=jnp.asarray(state),
+        terminated=jnp.ones((n,), bool),
+        truncated=jnp.zeros((n,), bool),
+        action_index=jnp.asarray(idx),
+        weight=jnp.ones((n,)),
+    )
+    return W, batch
+
+
+def test_disjoint_container_linear_arms_recover_ground_truth():
+    """Each LinearBandit arm's WLS coefficients converge to its own w_arm
+    (reference test :68-172), and greedy acting picks the best arm."""
+    W, batch = _disjoint_ground_truth_batch()
+    from pearl_tpu.api.spaces import DiscreteActionSpace
+
+    space = DiscreteActionSpace.discrete(3)
+    learner = DisjointBanditContainer(
+        exploration=UCBExploration(alpha=0.0), l2_reg_lambda=1e-4
+    ).bind(space)
+    state = learner.init(jax.random.PRNGKey(0), 4, space, 8)
+    state, _ = learner.learn_batch(state, batch)
+    # Recovered per-arm coefficients (skip intercept) match the ground truth.
+    from pearl_tpu.neural_networks.contextual_bandit import LinearRegression
+
+    lr = LinearRegression(feature_dim=4)
+    coefs = jax.vmap(lambda s: lr.coefs(s))(state.models)  # (A, 1+f)
+    np.testing.assert_allclose(np.asarray(coefs[:, 1:]), W, atol=0.02)
+    # Greedy acting picks the argmax arm per context.
+    ctx = np.random.RandomState(1).uniform(-1, 1, (64, 4)).astype(np.float32)
+    _, choice = learner.act(state, jnp.asarray(ctx), None, jax.random.PRNGKey(1), exploit=True)
+    np.testing.assert_array_equal(np.asarray(choice.index), (ctx @ W.T).argmax(1))
+
+
+def test_disjoint_container_neural_arms_learn_ground_truth():
+    """NeuralBandit arms (vmapped stacked params — the reference's arbitrary
+    per-arm learners, disjoint_bandit.py:77-162) learn a per-arm reward."""
+    from pearl_tpu.api.spaces import DiscreteActionSpace
+    from pearl_tpu.policy_learners.contextual_bandits import NeuralBandit
+
+    W, batch = _disjoint_ground_truth_batch(seed=2)
+    space = DiscreteActionSpace.discrete(3)
+    learner = DisjointBanditContainer(
+        arm_learner=NeuralBandit(hidden_dims=(32, 32), learning_rate=3e-3),
+        exploration=UCBExploration(alpha=0.0),
+    ).bind(space)
+    state = learner.init(jax.random.PRNGKey(0), 4, space, 8)
+
+    @jax.jit
+    def epoch(state, _):
+        state, _m = learner.learn_batch(state, batch)
+        return state, None
+
+    state, _ = jax.lax.scan(epoch, state, None, length=300)
+    ctx = np.random.RandomState(1).uniform(-1, 1, (256, 4)).astype(np.float32)
+    mu, _ = learner.mu_sigma(state, learner.arm_features(jnp.asarray(ctx)))
+    true = ctx @ W.T
+    assert float(jnp.mean((mu - true) ** 2)) < 0.01
+    _, choice = learner.act(state, jnp.asarray(ctx), None, jax.random.PRNGKey(1), exploit=True)
+    assert (np.asarray(choice.index) == true.argmax(1)).mean() > 0.95
+
+
+def test_disjoint_container_per_arm_3d_states():
+    """3-D (B, num_arms, f) per-arm states route state[:, i, :] to arm i
+    (reference disjoint_bandit.py:92-100)."""
+    from pearl_tpu.api.spaces import DiscreteActionSpace
+
+    W, batch = _disjoint_ground_truth_batch(per_arm_states=True, seed=4)
+    space = DiscreteActionSpace.discrete(3)
+    learner = DisjointBanditContainer(
+        exploration=UCBExploration(alpha=0.0), l2_reg_lambda=1e-4
+    ).bind(space)
+    state = learner.init(jax.random.PRNGKey(0), 4, space, 8)
+    state, _ = learner.learn_batch(state, batch)
+    from pearl_tpu.neural_networks.contextual_bandit import LinearRegression
+
+    lr = LinearRegression(feature_dim=4)
+    coefs = jax.vmap(lambda s: lr.coefs(s))(state.models)
+    np.testing.assert_allclose(np.asarray(coefs[:, 1:]), W, atol=0.03)
 
 
 def test_neural_linear_bandit_smoke():
