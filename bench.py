@@ -107,12 +107,54 @@ def main():
                 "unit": "env_steps/s",
                 "vs_baseline": round(steps_per_sec / 1e6, 3),
             }
-        )
+        ),
+        flush=True,
     )
     print(
         f"# device={jax.devices()[0]} num_envs={num_envs} "
         f"steps_per_learn={steps_per_learn} learns_per_call={learns_per_call} "
         f"calls={calls} elapsed={elapsed:.2f}s episodes={int(stats['episodes'])}",
+        file=sys.stderr,
+    )
+
+    # Second line: the USER-FACING driver (training/online.py) end-to-end with
+    # early stopping active (stats="summary": device-side episode accounting,
+    # an unreachable target_return so the full budget runs). Same workload.
+    from pearl_tpu.training.online import online_learning
+
+    env = CartPole()
+    spd = num_envs * steps_per_learn * learns_per_call  # steps per dispatch
+    t_warm = time.perf_counter()
+    online_learning(
+        agent, env, num_envs=num_envs, max_steps=spd * 2,
+        learn_every_k_steps=steps_per_learn, chunks_per_dispatch=learns_per_call,
+        seed=0, target_return=1e9, target_window=20, stats="summary",
+    )
+    print(
+        f"# online_learning warmup done in {time.perf_counter()-t_warm:.1f}s",
+        file=sys.stderr, flush=True,
+    )
+    online_calls = int(os.environ.get("BENCH_ONLINE_CALLS", 40))
+    t0 = time.perf_counter()
+    res = online_learning(
+        agent, env, num_envs=num_envs, max_steps=spd * online_calls,
+        learn_every_k_steps=steps_per_learn, chunks_per_dispatch=learns_per_call,
+        seed=1, target_return=1e9, target_window=20, stats="summary",
+    )
+    online_sps = res.total_steps / (time.perf_counter() - t0)
+    print(
+        json.dumps(
+            {
+                "metric": "online_learning_driver_env_steps_per_s",
+                "value": round(online_sps, 1),
+                "unit": "env_steps/s",
+                "vs_baseline": round(online_sps / 1e6, 3),
+            }
+        )
+    )
+    print(
+        f"# online_learning driver: {res.total_steps} steps, "
+        f"{res.total_episodes} episodes, early-stop active",
         file=sys.stderr,
     )
 

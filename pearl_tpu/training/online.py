@@ -161,6 +161,28 @@ def _make_chunk_fn(
     return run_chunk
 
 
+# Memoize chunk programs across online_learning calls: each call would
+# otherwise build a fresh closure, so the SAME (agent, env, shape) config
+# re-traces (and re-loads the compiled executable) on every call — several
+# seconds over this container's remote-compile tunnel. Keyed on the agent
+# object (identity) and env (structural equality); bounded FIFO.
+_CHUNK_CACHE: "dict" = {}
+_CHUNK_CACHE_MAX = 32
+
+
+def _chunk_fn_cached(cache_key, bound_agent, venv, *args):
+    try:
+        fn = _CHUNK_CACHE.get(cache_key)
+    except TypeError:  # unhashable env/agent: build uncached
+        return _make_chunk_fn(bound_agent, venv, *args)
+    if fn is None:
+        fn = _make_chunk_fn(bound_agent, venv, *args)
+        _CHUNK_CACHE[cache_key] = fn
+        while len(_CHUNK_CACHE) > _CHUNK_CACHE_MAX:
+            _CHUNK_CACHE.pop(next(iter(_CHUNK_CACHE)))
+    return fn
+
+
 def online_learning(
     agent: PearlAgent,
     env,
@@ -196,6 +218,7 @@ def online_learning(
     if stats not in ("full", "summary"):
         raise ValueError(f"stats must be 'full' or 'summary', got {stats!r}")
     summary = stats == "summary"
+    orig_agent = agent
     agent = agent.for_env(env)
     venv = VectorEnv(env, num_envs)
     key = jax.random.PRNGKey(seed)
@@ -227,16 +250,18 @@ def online_learning(
                 ),
             )
 
-    run_chunk = _make_chunk_fn(
-        agent, venv, learn_every_k_steps, learn, exploit, chunks_per_dispatch, summary
-    )
-    warm_chunk = (
-        _make_chunk_fn(
-            agent, venv, learn_every_k_steps, False, exploit, chunks_per_dispatch, summary
+    def chunk_for(do_learn: bool):
+        cache_key = (
+            orig_agent, env, num_envs, learn_every_k_steps, do_learn, exploit,
+            chunks_per_dispatch, summary,
         )
-        if learning_starts > 0
-        else None
-    )
+        return _chunk_fn_cached(
+            cache_key, agent, venv, learn_every_k_steps, do_learn, exploit,
+            chunks_per_dispatch, summary,
+        )
+
+    run_chunk = chunk_for(learn)
+    warm_chunk = chunk_for(False) if learning_starts > 0 else None
 
     ep_ret = jnp.zeros((num_envs,))
     ep_aux = (jnp.zeros((num_envs,)), jnp.zeros((num_envs,)), jnp.zeros((num_envs,)))
