@@ -186,7 +186,9 @@ class ActorCriticBase(PolicyLearner):
                     state.actor_params, subjective_state, key, low, high
                 )
                 explore_state = state.explore_state
-            index = jnp.zeros((B,), jnp.int32)
+            # Placeholder index for continuous spaces, derived from `action`
+            # (not a fresh constant) so it stays axis-varying under shard_map.
+            index = (action[:, 0] * 0).astype(jnp.int32)
             return (
                 state.replace(explore_state=explore_state),
                 ActionChoice(action=action, index=index),
