@@ -29,15 +29,24 @@ from pearl_tpu.training import agent_online_learning_host
 
 def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "PongNoFrameskip-v4"
-    raw = gymnasium.make(name)
-    raw = gymnasium.wrappers.ResizeObservation(raw, (84, 84))
-    raw = gymnasium.wrappers.GrayscaleObservation(raw, keep_dim=True)
-    env = GymEnvironment(wrap_atari(raw))
+    # The reference's exact stack (benchmark_config.py:1733-1746):
+    # Noop -> MaxAndSkip -> EpisodicLife -> Fire -> Resize -> Grayscale ->
+    # FrameStack(4), then transposed channels-last for the CNN.
+    env = wrap_atari(gymnasium.make(name))
+    env = gymnasium.wrappers.ResizeObservation(env, (84, 84))
+    env = gymnasium.wrappers.GrayscaleObservation(env)
+    env = gymnasium.wrappers.FrameStackObservation(env, 4)
+    env = gymnasium.wrappers.TransformObservation(
+        env,
+        lambda o: np.transpose(np.asarray(o), (1, 2, 0)),
+        gymnasium.spaces.Box(0, 255, (84, 84, 4), np.uint8),
+    )
+    env = GymEnvironment(env)
 
     agent = PearlAgent(
         policy_learner=DeepQLearning(
             q_network=CNNQValueNetwork(
-                input_shape=(84, 84, 1),
+                input_shape=(84, 84, 4),
                 out_channels=(32, 64, 64),
                 kernel_sizes=(8, 4, 3),
                 strides=(4, 2, 1),

@@ -13,6 +13,8 @@ from pearl_tpu.envs.bandit import (
 )
 from pearl_tpu.envs.wrappers import (
     DynamicActionSpaceWrapper,
+    FlattenDictObservations,
+    FlattenObservations,
     OneHotObservationsFromDiscrete,
     PartialObservabilityWrapper,
     SafetyWrapper,
@@ -44,6 +46,8 @@ __all__ = [
     "SparseRewardWrapper",
     "SafetyWrapper",
     "DynamicActionSpaceWrapper",
+    "FlattenDictObservations",
+    "FlattenObservations",
     "OneHotObservationsFromDiscrete",
     "Breakout",
     "PuckWorld",

@@ -182,6 +182,38 @@ class FlattenObservations(EnvWrapper):
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
+class FlattenDictObservations(FlattenObservations):
+    """Flatten DICT observations into one vector, reference-faithfully
+    (environments.py:169-224): entries concatenate in sorted-key order
+    (recursively) — which is exactly JAX's dict pytree leaf order — and the
+    flattened observation space derives its bounds from the sub-spaces (Box
+    bounds flattened; Discrete(n) contributes [0, n-1]). `flat_dim` may be
+    omitted when the wrapped env exposes a dict-of-spaces observation_space."""
+
+    @property
+    def observation_space(self):
+        if self.flat_dim:
+            return super().observation_space
+        space = self.env.observation_space
+        if not isinstance(space, dict):
+            raise ValueError(
+                "FlattenDictObservations needs flat_dim when the wrapped "
+                "env's observation_space is not a dict of spaces."
+            )
+        lows, highs = [], []
+        for _, sub in sorted(space.items()):
+            if hasattr(sub, "low"):  # Box
+                lows.append(jnp.reshape(sub.low, (-1,)))
+                highs.append(jnp.reshape(sub.high, (-1,)))
+            elif hasattr(sub, "n"):  # Discrete
+                lows.append(jnp.zeros((1,)))
+                highs.append(jnp.asarray([float(sub.n - 1)]))
+            else:
+                raise NotImplementedError(f"Unsupported subspace {type(sub)}")
+        return BoxSpace.create(jnp.concatenate(lows), jnp.concatenate(highs))
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
 class OneHotObservationsFromDiscrete(EnvWrapper):
     """One-hot a scalar discrete observation (reference environments.py:121-168)."""
 

@@ -14,39 +14,40 @@ from pearl_tpu.utils import tree_allclose
 from pearl_tpu.utils.checkpoint import restore, save
 
 
+def env_for_method(method, agent):
+    """The env family each registry row pairs with (mirrors the reference's
+    benchmark_config env lists)."""
+    if method.env_family == "visual":
+        from pearl_tpu.envs import Breakout
+
+        return Breakout()
+    if agent.store_cost and method.continuous:
+        # RC (RCPO) methods learn a cost critic — pair with the cost-emitting
+        # env, as the reference pairs RC* methods with gym_avg_torque_cost.
+        return Pendulum(emit_torque_cost=True)
+    if agent.store_cost:
+        # Discrete RC rows: cost = 1 in the risky half-plane (the reference's
+        # safety wrapper, wrappers/safety.py).
+        from pearl_tpu.envs import SafetyWrapper
+
+        return SafetyWrapper(CartPole(), risky_fn=lambda obs, action: obs[..., 0] > 0.5)
+    if method.continuous:
+        return Pendulum()
+    if agent.track_available_masks:
+        # Dynamic-action methods store availability masks — pair with the
+        # masked wrapper (reference DynamicActionSpaceWrapper envs).
+        from pearl_tpu.envs import DynamicActionSpaceWrapper
+
+        return DynamicActionSpaceWrapper(CartPole(), interval=4, num_masked=1)
+    return CartPole()
+
+
 @pytest.mark.parametrize("name", sorted(METHODS.keys()))
 def test_method_trains_and_roundtrips(name, tmp_path):
     method = METHODS[name]
     num_envs = 4
     agent = method.make_agent(num_envs)
-    if method.env_family == "visual":
-        from pearl_tpu.envs import Breakout
-
-        env = Breakout()
-    elif agent.store_cost and method.continuous:
-        # RC (RCPO) methods learn a cost critic — pair with the cost-emitting
-        # env, as the reference pairs RC* methods with gym_avg_torque_cost.
-        env = Pendulum(emit_torque_cost=True)
-    elif agent.store_cost:
-        # Discrete RC rows: cost = 1 in the risky half-plane (the reference's
-        # safety wrapper, wrappers/safety.py).
-        import jax.numpy as jnp
-
-        from pearl_tpu.envs import SafetyWrapper
-
-        env = SafetyWrapper(
-            CartPole(), risky_fn=lambda obs, action: obs[..., 0] > 0.5
-        )
-    elif method.continuous:
-        env = Pendulum()
-    elif agent.track_available_masks:
-        # Dynamic-action methods store availability masks — pair with the
-        # masked wrapper (reference DynamicActionSpaceWrapper envs).
-        from pearl_tpu.envs import DynamicActionSpaceWrapper
-
-        env = DynamicActionSpaceWrapper(CartPole(), interval=4, num_masked=1)
-    else:
-        env = CartPole()
+    env = env_for_method(method, agent)
     rollout = method.on_policy_rollout
     if rollout is not None:
         # Shrink on-policy rollouts for test speed.
@@ -117,16 +118,28 @@ def test_rc_constrained_experiment_preset():
 
     exp = rc_constrained_experiments()
     env = exp["envs"]["PendulumCost"]()
-    # One cell per method family is enough for CI; all 9 share the builders.
-    for name in ("RCDDPG-c0.05", "RCTD3-c0.1", "RCCSAC-c0.2"):
-        method = exp["methods"][name]
+    # ALL 9 grid cells (3 methods x 3 constraint values).
+    assert len(exp["methods"]) == 9
+    for name, method in exp["methods"].items():
         agent = method.make_agent(4)
-        assert agent.safety_module.constraint_value in (0.05, 0.1, 0.2), name
+        assert agent.safety_module.constraint_value == float(
+            name.split("-c")[1]
+        ), name
         res = online_learning(
             agent, env, num_envs=4, max_steps=96,
             learn_every_k_steps=8, learning_starts=32, seed=0,
         )
-        assert int(res.agent_state.learner.step) > 0, name
+        state = res.agent_state
+        assert int(state.learner.step) > 0, name
+        # The RC safety state actually updated: lambda is finite and the cost
+        # critic's optimizer stepped (its Adam count advanced).
+        assert np.isfinite(float(state.safety.lagrangian)), name
+        counts = [
+            np.asarray(leaf)
+            for leaf in jax.tree.leaves(state.safety.critic_opt)
+            if np.asarray(leaf).ndim == 0
+        ]
+        assert any(c > 0 for c in counts), name
 
 
 def test_visual_experiment_preset_shape():

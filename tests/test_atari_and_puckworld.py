@@ -188,3 +188,71 @@ def test_agent_host_loop_runs_gym_and_device_envs():
         max_steps=300, learn_every_k_steps=8, learning_starts=32, seed=0,
     )
     assert len(rets2) >= 1
+
+
+class FakeALEImage(FakeALE):
+    """Image-shaped scripted ALE fake: (20, 20, 3) uint8 frames whose pixel
+    intensity tracks the frame counter, so resize/grayscale/stacking have
+    real content to transform."""
+
+    def __init__(self):
+        super().__init__()
+        self.observation_space = gymnasium.spaces.Box(
+            0, 255, (20, 20, 3), np.uint8
+        )
+
+    def _obs(self):
+        return np.full((20, 20, 3), min(self.frame * 7, 255), np.uint8)
+
+
+def test_atari_host_pipeline_end_to_end():
+    """The COMPOSED reference Atari stack (benchmark_config.py:1733-1746):
+    NoopReset -> MaxAndSkip -> EpisodicLife -> FireReset -> Resize ->
+    Grayscale -> FrameStack -> GymEnvironment -> agent_online_learning_host
+    with a CNN-DQN, for a few hundred frames against the scripted fake."""
+    from pearl_tpu.agent import PearlAgent
+    from pearl_tpu.envs.gym_adapter import GymEnvironment
+    from pearl_tpu.neural_networks.q_value_networks import CNNQValueNetwork
+    from pearl_tpu.policy_learners.sequential_decision_making import DeepQLearning
+    from pearl_tpu.replay_buffers.replay_buffer import BasicReplayBuffer
+    from pearl_tpu.training import agent_online_learning_host
+
+    raw = FakeALEImage()
+    env = wrap_atari(raw, noop_max=3, skip=2)
+    env = gymnasium.wrappers.ResizeObservation(env, (16, 16))
+    env = gymnasium.wrappers.GrayscaleObservation(env)
+    env = gymnasium.wrappers.FrameStackObservation(env, 2)
+    # (stack, H, W) -> channels-last for the CNN.
+    env = gymnasium.wrappers.TransformObservation(
+        env,
+        lambda o: np.transpose(np.asarray(o), (1, 2, 0)),
+        gymnasium.spaces.Box(0, 255, (16, 16, 2), np.uint8),
+    )
+    env = GymEnvironment(env)
+
+    agent = PearlAgent(
+        policy_learner=DeepQLearning(
+            q_network=CNNQValueNetwork(
+                input_shape=(16, 16, 2),
+                out_channels=(8, 8),
+                kernel_sizes=(4, 3),
+                strides=(2, 1),
+                paddings=(0, 0),
+                hidden_dims=(32,),
+            ),
+            training_rounds=1,
+            batch_size=16,
+        ),
+        replay_buffer=BasicReplayBuffer(capacity=512),
+    )
+    returns = agent_online_learning_host(
+        agent, env, max_steps=300, learn_every_k_steps=8,
+        learning_starts=64, seed=0,
+    )
+    # The fake loses a life every 10 raw frames (5 skipped steps), so the
+    # EpisodicLife wrapper must have finished several episodes in 300 steps.
+    assert len(returns) >= 10
+    assert all(np.isfinite(r) for r in returns)
+    # The whole stack actually executed: fake was reset + stepped many times.
+    assert raw.calls["step"] >= 500  # skip=2 -> 2 raw frames per agent step
+    assert raw.calls["reset"] >= 1

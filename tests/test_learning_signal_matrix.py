@@ -1,0 +1,93 @@
+"""Learning-SIGNAL test over the full method registry (VERDICT round-1 item 4:
+the smoke matrix asserted only finiteness — a loss wired to zero would pass).
+
+Per registry row: fill the replay buffer with real rollouts, then FREEZE the
+targets by marking every stored transition terminated (the Bellman target
+collapses to the reward, so there is no moving bootstrap target) and run the
+learner's own `learn` repeatedly on the same data. The row's primary loss
+metric must (a) start non-trivially above zero and (b) fall substantially —
+a learner whose loss is wired to zero, whose gradients don't flow, or whose
+optimizer doesn't step fails one of the two assertions."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pearl_tpu.benchmarks.configs import METHODS
+from pearl_tpu.training import online_learning
+from tests.test_all_methods_matrix import env_for_method
+
+# Primary loss metric per learner family, in lookup order.
+_METRIC_PRIORITY = ("loss", "critic_loss", "value_loss")
+
+
+@pytest.mark.parametrize("name", sorted(METHODS.keys()))
+def test_method_loss_improves_on_frozen_targets(name):
+    method = METHODS[name]
+    num_envs = 4
+    agent = method.make_agent(num_envs)
+    env = env_for_method(method, agent)
+    rollout = method.on_policy_rollout
+    if rollout is not None:
+        from pearl_tpu.replay_buffers.on_policy import OnPolicyReplayBuffer
+
+        rollout = 16
+        agent = dataclasses.replace(
+            agent,
+            replay_buffer=OnPolicyReplayBuffer(
+                capacity=rollout * num_envs, num_envs=num_envs
+            ),
+        )
+    fill_steps = (rollout or 32) * num_envs
+    res = online_learning(
+        agent, env, num_envs=num_envs, max_steps=fill_steps,
+        learn_every_k_steps=rollout or 32, learn=False, seed=0,
+    )
+    astate = res.agent_state
+    assert int(astate.replay.size) > 0, name
+
+    # Freeze the targets: every stored transition is terminal, so TD-style
+    # targets equal the stored reward and fitting them is pure regression on
+    # a consistent (state, action) -> reward mapping.
+    storage = astate.replay.storage
+    storage = storage.replace(terminated=jnp.ones_like(storage.terminated))
+    if float(jnp.abs(storage.reward).mean()) < 0.05:
+        # Sparse-reward envs (Breakout): the loss would start at ~0. Use a
+        # dense deterministic function of the stored state as the regression
+        # target instead.
+        n = storage.reward.shape[0]
+        dense = 1.0 + storage.state.reshape(n, -1).mean(axis=1)
+        storage = storage.replace(reward=dense)
+    buf_state = astate.replay.replace(storage=storage)
+
+    learner = agent.for_env(env).policy_learner
+    buffer = agent.replay_buffer
+    n_learns = 30 if method.env_family == "visual" else 60
+
+    # On-policy learners re-consume the same frozen trajectories each round
+    # (the buffer-clear lives at the agent level, not inside learner.learn);
+    # off-policy learners resample from the frozen ring.
+    @jax.jit
+    def run(ls, bs, key):
+        def one(carry, k):
+            ls, bs = carry
+            ls, bs, metrics = learner.learn(ls, buffer, bs, k)
+            return (ls, bs), metrics
+
+        keys = jax.random.split(key, n_learns)
+        (ls, bs), metrics = jax.lax.scan(one, (ls, bs), keys)
+        return metrics
+
+    metrics = run(astate.learner, buf_state, jax.random.PRNGKey(1))
+    key = next((k for k in _METRIC_PRIORITY if k in metrics), None)
+    assert key is not None, (name, sorted(metrics))
+    m = np.asarray(metrics[key])
+    assert np.isfinite(m).all(), name
+    early = float(np.mean(m[:3]))
+    late = float(np.mean(m[-3:]))
+    # (a) the loss is not wired to zero; (b) it falls while fitting.
+    assert early > 1e-3, (name, key, early)
+    assert late < 0.8 * early, (name, key, early, late)

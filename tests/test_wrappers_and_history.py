@@ -132,3 +132,72 @@ def test_lstm_dqn_learns_partial_obs_cartpole():
     r = np.asarray(res.episode_returns)
     n = max(len(r) // 10, 20)
     assert r[-n:].mean() > 100.0, (r[:n].mean(), r[-n:].mean())
+
+
+def test_flatten_dict_observations():
+    """FlattenDictObservations (reference environments.py:169-224): dict
+    observations concatenate in sorted-key order; the flattened space derives
+    bounds from Box/Discrete sub-spaces; a DQN agent trains through it."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pearl_tpu.api.spaces import BoxSpace, DiscreteActionSpace, DiscreteSpace
+    from pearl_tpu.api.types import ActionResult
+    from pearl_tpu.envs import CartPole, FlattenDictObservations
+    from pearl_tpu.envs.wrappers import EnvWrapper
+
+    @dataclasses.dataclass(frozen=True, eq=False)
+    class DictObsCartPole(EnvWrapper):
+        """CartPole re-exposed with a dict observation {pos: 2-d, vel: 2-d,
+        flag: Discrete(3)}."""
+
+        @property
+        def observation_space(self):
+            return {
+                "pos": BoxSpace.create(-jnp.ones(2) * 5, jnp.ones(2) * 5),
+                "vel": BoxSpace.create(-jnp.ones(2) * 10, jnp.ones(2) * 10),
+                "flag": DiscreteSpace.range(3),
+            }
+
+        def _dictify(self, obs):
+            return {
+                "pos": obs[jnp.array([0, 2])],
+                "vel": obs[jnp.array([1, 3])],
+                "flag": jnp.zeros((1,)),
+            }
+
+        def reset(self, key):
+            state, obs = self.env.reset(key)
+            return state, self._dictify(obs)
+
+        def step(self, state, action, key):
+            state, result = self.env.step(state, action, key)
+            return state, result.replace(observation=self._dictify(result.observation))
+
+    env = FlattenDictObservations(env=DictObsCartPole(env=CartPole()))
+    space = env.observation_space
+    assert space.dim == 5  # 2 + 2 + 1, sorted keys: flag, pos, vel
+    np.testing.assert_allclose(np.asarray(space.low)[:1], [0.0])  # Discrete low
+    np.testing.assert_allclose(np.asarray(space.high)[:1], [2.0])  # n - 1
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (5,)
+    state, result = env.step(state, jnp.zeros((1,)), jax.random.PRNGKey(1))
+    assert result.observation.shape == (5,)
+
+    # End to end: a DQN agent trains over the flattened dict observation.
+    from pearl_tpu.agent import PearlAgent
+    from pearl_tpu.policy_learners.sequential_decision_making import DeepQLearning
+    from pearl_tpu.replay_buffers.replay_buffer import BasicReplayBuffer
+    from pearl_tpu.training import online_learning
+
+    agent = PearlAgent(
+        policy_learner=DeepQLearning(training_rounds=1, batch_size=32),
+        replay_buffer=BasicReplayBuffer(capacity=512),
+    )
+    res = online_learning(agent, env, num_envs=4, max_steps=512,
+                          learn_every_k_steps=8, learning_starts=64, seed=0)
+    assert int(res.agent_state.learner.step) > 0
+    assert len(res.episode_returns) > 0
