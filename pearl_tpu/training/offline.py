@@ -91,7 +91,18 @@ def get_offline_data_in_buffer(
     """Load an offline dataset into a replay buffer (reference
     offline_learning_and_evaluation.py:40-138). Accepts either this
     framework's columnar .npz or the reference's .pt list-of-dicts format
-    (so datasets produced for/by the reference drop straight in)."""
+    (so datasets produced for/by the reference drop straight in), from a
+    local path or a URL (http(s)/file, like the reference's hosted
+    datasets — URLs are fetched to a temp file first)."""
+    if "://" in path:
+        import tempfile
+        import urllib.request
+
+        suffix = ".pt" if path.endswith(".pt") else ".npz"
+        with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as tmp:
+            with urllib.request.urlopen(path) as resp:
+                tmp.write(resp.read())
+            path = tmp.name
     if path.endswith(".pt"):
         batch = _batch_from_reference_pt(path)
     else:

@@ -138,3 +138,17 @@ def test_reference_pt_dataset_format(tmp_path):
     assert state.storage.state.shape == (32, 4)
     assert state.storage.action.shape == (32, 1)
     assert bool(np.all(np.asarray(state.storage.reward) == 1.0))
+
+
+def test_url_dataset_ingestion(tmp_path):
+    """URL ingestion like the reference's hosted datasets
+    (offline_learning_and_evaluation.py:40-138) — exercised via file:// here
+    (no egress in CI); http(s) uses the same urllib path."""
+    batch = _random_cartpole_dataset(64)
+    path = str(tmp_path / "data.npz")
+    save_offline_data(path, batch)
+    buffer, state = get_offline_data_in_buffer("file://" + path)
+    assert int(state.size) == 64
+    np.testing.assert_allclose(
+        np.asarray(state.storage.reward), np.asarray(batch.reward)
+    )
