@@ -95,6 +95,14 @@ class MultiHeadQValueNetwork:
         return m.init(key, jnp.zeros((1, state_dim)))["params"]
 
     def q_all(self, params, state, actions, mask=None):
+        # Optional fused Pallas path (PEARL_TPU_FUSED_MLP=1): the whole
+        # relu-MLP chain in one VMEM-resident kernel. Off by default — for
+        # THIS net's tiny dims XLA's native lowering is 5x faster (measured;
+        # see pearl_tpu/ops/fused_mlp.py docstring for the numbers).
+        from pearl_tpu.ops.fused_mlp import fused_mlp_from_flax, use_fused_mlp
+
+        if use_fused_mlp():
+            return fused_mlp_from_flax(params["MLP_0"], state)
         num_actions = actions.shape[1]
         m = _MultiHeadNet(tuple(self.hidden_dims), num_actions)
         return m.apply({"params": params}, state)
