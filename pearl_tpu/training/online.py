@@ -64,6 +64,8 @@ class OnlineResult:
     return_curve: np.ndarray = None
     total_episodes: int = 0
     mean_return: float = 0.0
+    mean_cost: float = 0.0  # mean finished-episode cost (summary mode)
+    mean_risky_ratio: float = 0.0  # mean finished-episode risky-step ratio
 
 
 def _make_chunk_fn(
@@ -344,6 +346,8 @@ def online_learning(
             return_curve=np.asarray(curve),
             total_episodes=n_ep,
             mean_return=float(last_summary[_S_SUM_RET] / max(n_ep, 1)),
+            mean_cost=float(last_summary[_S_SUM_COST] / max(n_ep, 1)),
+            mean_risky_ratio=float(last_summary[_S_SUM_RISKY] / max(n_ep, 1)),
         )
     return OnlineResult(
         episode_returns=np.asarray(finished),

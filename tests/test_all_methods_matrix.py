@@ -76,11 +76,13 @@ def test_method_trains_and_roundtrips(name, tmp_path):
     assert int(state.learner.step) > 0, name
     for leaf in jax.tree.leaves(state.learner):
         assert np.isfinite(np.asarray(leaf)).all(), name
-    # Checkpoint round-trip (reference test_serialization.py parity).
+    # Checkpoint round-trip of the WHOLE AgentState — learner, safety state
+    # (RC lambda/cost critic), replay ring contents, history carries
+    # (reference test_serialization.py parity).
     path = str(tmp_path / "ckpt")
     save(path, state)
     restored = restore(path, state)
-    assert tree_allclose(restored.learner, state.learner), name
+    assert tree_allclose(restored, state), name
 
 
 def test_dynamic_action_experiment_preset():

@@ -80,3 +80,16 @@ def test_summary_mode_early_stops_on_target():
     assert res.reached_target
     assert res.total_steps < 120_000
     assert res.return_curve[-1] >= 50.0  # curve tracks the statistic
+
+
+def test_summary_mode_reports_cost_and_risky_means():
+    from pearl_tpu.envs import SafetyWrapper
+
+    env = SafetyWrapper(CartPole(), risky_fn=lambda obs, a: obs[0] > 0.0)
+    res = online_learning(
+        _agent(), env, num_envs=8, max_steps=8 * 2 * 40, learn_every_k_steps=2,
+        seed=3, stats="summary",
+    )
+    assert res.total_episodes > 0
+    assert res.mean_cost > 0.0  # right-of-center steps carry cost
+    assert 0.0 < res.mean_risky_ratio < 1.0
