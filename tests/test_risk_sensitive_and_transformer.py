@@ -82,3 +82,36 @@ def test_transformer_summarizer_trains():
     assert int(ls.step) > 0
     leaves = jax.tree.leaves(ls.summarizer_params)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_transformer_dqn_learns_partial_obs_cartpole():
+    """Learning-signal twin of the LSTM test
+    (test_wrappers_and_history.py::test_lstm_dqn_learns_partial_obs_cartpole):
+    positions-only CartPole (velocities hidden, reference
+    wrappers/partial_observability.py) — the causal transformer over the
+    8-step window must recover velocity for the agent to balance.
+    Observed 14.7 -> 390.5 mean return in 300k steps at seed 7."""
+    from pearl_tpu.envs import CartPole, PartialObservabilityWrapper
+    from pearl_tpu.policy_learners.sequential_decision_making import DeepQLearning
+
+    env = PartialObservabilityWrapper(env=CartPole(), observed_indices=(0, 2))
+    agent = PearlAgent(
+        policy_learner=DeepQLearning(
+            training_rounds=2,
+            batch_size=128,
+            exploration=EGreedyExploration(
+                start_epsilon=0.5, end_epsilon=0.05, warmup_steps=20_000
+            ),
+            history_summarizer=TransformerHistorySummarization(
+                history_length=8, dim=64, num_layers=1, num_heads=4
+            ),
+        ),
+        replay_buffer=BasicReplayBuffer(capacity=50_048),
+    )
+    res = online_learning(
+        agent, env, num_envs=32, max_steps=300_000,
+        learn_every_k_steps=4, learning_starts=2_000, seed=7,
+    )
+    r = np.asarray(res.episode_returns)
+    n = max(len(r) // 10, 20)
+    assert r[-n:].mean() > 100.0, (r[:n].mean(), r[-n:].mean())
