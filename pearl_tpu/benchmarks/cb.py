@@ -141,7 +141,11 @@ def run_cb_benchmark_suite(
     from pearl_tpu.benchmarks.cb_datasets import get_dataset
     from pearl_tpu.envs.bandit import ClassificationBanditEnvironment
 
-    assert T % num_envs == 0
+    if T % num_envs != 0:
+        raise ValueError(
+            f"T={T} must be a multiple of num_envs={num_envs} (interactions "
+            "are spread evenly over the vectorized env instances)"
+        )
     results: Dict[str, Dict[str, Dict[str, np.ndarray]]] = {}
     for ds in datasets:
         X, y, source = get_dataset(ds, data_dir)

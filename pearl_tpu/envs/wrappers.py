@@ -201,15 +201,23 @@ class FlattenDictObservations(FlattenObservations):
                 "env's observation_space is not a dict of spaces."
             )
         lows, highs = [], []
-        for _, sub in sorted(space.items()):
-            if hasattr(sub, "low"):  # Box
+
+        def walk(sub):
+            # Recurse nested dicts in sorted-key order — the same order
+            # JAX's dict pytree flattening (and therefore _flatten) uses.
+            if isinstance(sub, dict):
+                for _, s in sorted(sub.items()):
+                    walk(s)
+            elif hasattr(sub, "low"):  # Box
                 lows.append(jnp.reshape(sub.low, (-1,)))
                 highs.append(jnp.reshape(sub.high, (-1,)))
-            elif hasattr(sub, "n"):  # Discrete
+            elif hasattr(sub, "n"):  # Discrete: a scalar index in [0, n-1]
                 lows.append(jnp.zeros((1,)))
                 highs.append(jnp.asarray([float(sub.n - 1)]))
             else:
                 raise NotImplementedError(f"Unsupported subspace {type(sub)}")
+
+        walk(space)
         return BoxSpace.create(jnp.concatenate(lows), jnp.concatenate(highs))
 
 

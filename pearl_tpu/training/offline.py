@@ -94,20 +94,31 @@ def get_offline_data_in_buffer(
     (so datasets produced for/by the reference drop straight in), from a
     local path or a URL (http(s)/file, like the reference's hosted
     datasets — URLs are fetched to a temp file first)."""
+    tmp_path = None
     if "://" in path:
         import tempfile
+        import urllib.parse
         import urllib.request
 
-        suffix = ".pt" if path.endswith(".pt") else ".npz"
+        # Detect format from the URL *path* (a presigned ?query must not
+        # defeat the .pt suffix check).
+        url_path = urllib.parse.urlparse(path).path
+        suffix = ".pt" if url_path.endswith(".pt") else ".npz"
         with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as tmp:
             with urllib.request.urlopen(path) as resp:
                 tmp.write(resp.read())
-            path = tmp.name
-    if path.endswith(".pt"):
-        batch = _batch_from_reference_pt(path)
-    else:
-        data = np.load(path)
-        batch = transitions_from_arrays(**{k: data[k] for k in data.files})
+            path = tmp_path = tmp.name
+    try:
+        if path.endswith(".pt"):
+            batch = _batch_from_reference_pt(path)
+        else:
+            data = np.load(path)
+            batch = transitions_from_arrays(**{k: data[k] for k in data.files})
+    finally:
+        if tmp_path is not None:
+            import os
+
+            os.unlink(tmp_path)
     n = batch.reward.shape[0]
     if buffer is None:
         buffer = BasicReplayBuffer(capacity=n)

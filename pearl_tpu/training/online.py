@@ -28,6 +28,7 @@ Two statistics modes (`stats=`):
 from __future__ import annotations
 
 import dataclasses
+import weakref
 from typing import Optional
 
 import jax
@@ -163,23 +164,29 @@ def _make_chunk_fn(
     return run_chunk
 
 
-# Memoize chunk programs across online_learning calls: each call would
-# otherwise build a fresh closure, so the SAME (agent, env, shape) config
-# re-traces (and re-loads the compiled executable) on every call — several
-# seconds over this container's remote-compile tunnel. Keyed on the agent
-# object (identity) and env (structural equality); bounded FIFO.
+# Memoize chunk programs across online_learning/population_learning calls:
+# each call would otherwise build a fresh closure, so the SAME
+# (agent, env, shape) config re-traces (and re-loads the compiled
+# executable) on every call — several seconds over this container's
+# remote-compile tunnel. Keyed on a weakref to the agent (so a dropped
+# agent's entry stops pinning its compiled executables and is swept on the
+# next insert) and the env (structural equality); bounded FIFO.
 _CHUNK_CACHE: "dict" = {}
 _CHUNK_CACHE_MAX = 32
 
 
-def _chunk_fn_cached(cache_key, bound_agent, venv, *args):
+def _cached_program(cache_key, build):
+    """Memoize `build()` under cache_key; cache_key[0] must be a
+    weakref.ref to the owning agent (dead-agent entries are swept)."""
     try:
         fn = _CHUNK_CACHE.get(cache_key)
     except TypeError:  # unhashable env/agent: build uncached
-        return _make_chunk_fn(bound_agent, venv, *args)
+        return build()
     if fn is None:
-        fn = _make_chunk_fn(bound_agent, venv, *args)
+        fn = build()
         _CHUNK_CACHE[cache_key] = fn
+        for k in [k for k in _CHUNK_CACHE if k[0]() is None]:
+            del _CHUNK_CACHE[k]
         while len(_CHUNK_CACHE) > _CHUNK_CACHE_MAX:
             _CHUNK_CACHE.pop(next(iter(_CHUNK_CACHE)))
     return fn
@@ -254,12 +261,15 @@ def online_learning(
 
     def chunk_for(do_learn: bool):
         cache_key = (
-            orig_agent, env, num_envs, learn_every_k_steps, do_learn, exploit,
-            chunks_per_dispatch, summary,
+            weakref.ref(orig_agent), env, num_envs, learn_every_k_steps,
+            do_learn, exploit, chunks_per_dispatch, summary,
         )
-        return _chunk_fn_cached(
-            cache_key, agent, venv, learn_every_k_steps, do_learn, exploit,
-            chunks_per_dispatch, summary,
+        return _cached_program(
+            cache_key,
+            lambda: _make_chunk_fn(
+                agent, venv, learn_every_k_steps, do_learn, exploit,
+                chunks_per_dispatch, summary,
+            ),
         )
 
     run_chunk = chunk_for(learn)
@@ -295,8 +305,14 @@ def online_learning(
                     f"recent_return={last_summary[_S_RECENT]:.1f}"
                 )
             if target_return is not None:
-                hit = (rows[:, _S_TOTAL_FIN] >= target_window) & (
-                    rows[:, _S_RECENT] >= target_return
+                # Gate on BOTH total finished episodes and the number of
+                # distinct envs backing the recent-return statistic: without
+                # the _S_ENVS_FIN gate a single env finishing target_window
+                # short episodes could trip the stop on a one-episode mean.
+                hit = (
+                    (rows[:, _S_TOTAL_FIN] >= target_window)
+                    & (rows[:, _S_ENVS_FIN] >= min(target_window, num_envs))
+                    & (rows[:, _S_RECENT] >= target_return)
                 )
                 if hit.any():
                     reached = True

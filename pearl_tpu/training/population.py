@@ -28,6 +28,7 @@ host fetches a (M, 6) summary per chunk.
 from __future__ import annotations
 
 import dataclasses
+import weakref
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -36,7 +37,14 @@ import numpy as np
 
 from pearl_tpu.agent.pearl_agent import AgentState, PearlAgent
 from pearl_tpu.envs.vector import VectorEnv
-from pearl_tpu.training.online import _S_RECENT, _S_SUM_RET, _S_TOTAL_FIN, _make_chunk_fn
+from pearl_tpu.training.online import (
+    _S_ENVS_FIN,
+    _S_RECENT,
+    _S_SUM_RET,
+    _S_TOTAL_FIN,
+    _cached_program,
+    _make_chunk_fn,
+)
 
 
 @dataclasses.dataclass
@@ -58,6 +66,35 @@ class PopulationResult:
         return jax.tree.map(lambda x: x[i], self.agent_states)
 
 
+def _key_name(k):
+    return getattr(k, "name", None) or getattr(k, "key", None)
+
+
+def _is_shared_ring_leaf(path) -> bool:
+    """True for the replay ring's cursor/size leaves inside an AgentState."""
+    names = [_key_name(k) for k in path]
+    return bool(names) and names[0] == "replay" and names[-1] in ("cursor", "size")
+
+
+def _member_axes(stacked_state, share_cursor: bool):
+    """vmap axis spec for an AgentState: every leaf batched on axis 0, except
+    (when share_cursor) the replay ring's cursor/size, which stay UNBATCHED.
+
+    Why: the ring cursor advances by a static amount per push (replay_buffer
+    .py push: start/cursor'/size' depend only on cursor and the static batch
+    size), so every member's cursor is identical at every step. Keeping it
+    unbatched means the vmapped storage write stays ONE contiguous
+    dynamic_update_slice over the (M, capacity, ...) array instead of a
+    per-member scatter — XLA:TPU serializes general scatters row-by-row
+    (docs/ROADMAP.md), which costs ~4x aggregate throughput at bench scale."""
+    import jax.tree_util as jtu
+
+    return jtu.tree_map_with_path(
+        lambda p, _: None if (share_cursor and _is_shared_ring_leaf(p)) else 0,
+        stacked_state,
+    )
+
+
 def population_learning(
     agent: PearlAgent,
     env,
@@ -74,6 +111,7 @@ def population_learning(
     target_window: int = 20,
     exploit: bool = False,
     member_state_transform: Optional[Callable[[jnp.ndarray, AgentState], AgentState]] = None,
+    shared_ring_cursor: Optional[bool] = None,
     verbose: bool = False,
 ) -> PopulationResult:
     """Train `num_members` independent agents simultaneously in one program.
@@ -89,6 +127,14 @@ def population_learning(
     freshly initialized stacked states to sweep state-resident
     hyperparameters — it receives the (M,) member-index array and the stacked
     AgentState and must return the edited stacked AgentState.
+
+    `shared_ring_cursor` keeps the replay ring's cursor/size UNBATCHED under
+    the member vmap (see `_member_axes`): the push stays one contiguous
+    dynamic_update_slice instead of a per-member scatter, which on TPU is the
+    difference between ~0.25x and ~1x of solo throughput at bench scale.
+    Default (None) auto-enables for BasicReplayBuffer / PrioritizedReplayBuffer
+    (whose cursor dynamics are provably data-independent); pass True/False to
+    override.
     """
     if seeds is None:
         seeds = [seed + m for m in range(num_members)]
@@ -114,26 +160,51 @@ def population_learning(
             jnp.arange(num_members), agent_states
         )
 
-    run_chunk = _make_chunk_fn(
-        bound, venv, learn_every_k_steps, True, exploit,
-        chunks_per_dispatch, True,
-    )
-    warm_chunk = (
-        _make_chunk_fn(
-            bound, venv, learn_every_k_steps, False, exploit,
-            chunks_per_dispatch, True,
-        )
-        if learning_starts > 0
-        else None
-    )
+    if shared_ring_cursor is None:
+        from pearl_tpu.replay_buffers.prioritized import PrioritizedReplayBuffer
+        from pearl_tpu.replay_buffers.replay_buffer import BasicReplayBuffer
 
+        shared_ring_cursor = type(agent.replay_buffer) in (
+            BasicReplayBuffer,
+            PrioritizedReplayBuffer,
+        )
+    state_axes = _member_axes(agent_states, shared_ring_cursor)
+    if shared_ring_cursor:
+        # Collapse the (identical) stacked cursor/size back to scalars so the
+        # unbatched axis spec matches the carried arrays.
+        import jax.tree_util as jtu
+
+        agent_states = jtu.tree_map_with_path(
+            lambda p, x: x[0] if _is_shared_ring_leaf(p) else x, agent_states
+        )
+
+    def vmapped_chunk(do_learn: bool):
+        cache_key = (
+            weakref.ref(agent), "pop", env, num_members, num_envs,
+            learn_every_k_steps, do_learn, exploit, chunks_per_dispatch,
+            shared_ring_cursor,
+        )
+        return _cached_program(
+            cache_key,
+            lambda: jax.jit(
+                jax.vmap(
+                    _make_chunk_fn(
+                        bound, venv, learn_every_k_steps, do_learn, exploit,
+                        chunks_per_dispatch, True,
+                    ),
+                    in_axes=(state_axes, 0, 0, 0, 0),
+                    out_axes=(state_axes, 0, 0, 0, 0),
+                )
+            ),
+        )
+
+    pop_run = vmapped_chunk(True)
+    pop_warm = vmapped_chunk(False) if learning_starts > 0 else None
+
+    @jax.jit
     def step_keys(keys):
         nxt, use = jax.vmap(lambda k: tuple(jax.random.split(k)))(keys)
         return nxt, use
-
-    pop_run = jax.jit(jax.vmap(run_chunk))
-    pop_warm = jax.jit(jax.vmap(warm_chunk)) if warm_chunk is not None else None
-    step_keys = jax.jit(step_keys)
 
     ep_ret = jnp.zeros((num_members, num_envs))
     ep_aux = (
@@ -160,8 +231,10 @@ def population_learning(
             rec = ", ".join(f"{v:.1f}" for v in last_summary[:, _S_RECENT])
             print(f"steps/member={steps_done} recent_returns=[{rec}]")
         if target_return is not None:
-            ok = (rows[:, :, _S_TOTAL_FIN] >= target_window) & (
-                rows[:, :, _S_RECENT] >= target_return
+            ok = (
+                (rows[:, :, _S_TOTAL_FIN] >= target_window)
+                & (rows[:, :, _S_ENVS_FIN] >= min(target_window, num_envs))
+                & (rows[:, :, _S_RECENT] >= target_return)
             )
             # all members at target within the same dispatch row
             if ok.all(axis=0).any():
@@ -181,6 +254,17 @@ def population_learning(
     if pending is not None:
         consume(*pending)
 
+    if shared_ring_cursor:
+        # Re-broadcast the shared cursor/size so member_state(i)'s uniform
+        # x[i] unstacking works on every leaf.
+        agent_states = jax.tree_util.tree_map_with_path(
+            lambda p, x: (
+                jnp.broadcast_to(x, (num_members,) + x.shape)
+                if _is_shared_ring_leaf(p)
+                else x
+            ),
+            agent_states,
+        )
     n_ep = last_summary[:, _S_TOTAL_FIN]
     return PopulationResult(
         num_members=num_members,

@@ -18,7 +18,7 @@ import pytest
 
 from pearl_tpu.benchmarks.configs import METHODS
 from pearl_tpu.training import online_learning
-from tests.test_all_methods_matrix import env_for_method
+from test_all_methods_matrix import env_for_method
 
 # Primary loss metric per learner family, in lookup order.
 _METRIC_PRIORITY = ("loss", "critic_loss", "value_loss")

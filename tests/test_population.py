@@ -75,6 +75,34 @@ def test_population_members_diverge_and_learn():
     assert pop.recent_returns.mean() > 2.0 * early.mean()
 
 
+def test_population_shared_ring_cursor_is_exact():
+    """The shared-cursor fast path (cursor/size unbatched under the member
+    vmap — population.py _member_axes) is a pure layout change: training is
+    numerically identical to the per-member-cursor path."""
+    agent = _dqn_agent()
+    env = CartPole()
+    kw = dict(
+        num_members=2,
+        seeds=[3, 9],
+        num_envs=8,
+        max_steps=2_048,
+        learn_every_k_steps=8,
+        learning_starts=256,
+    )
+    fast = population_learning(agent, env, shared_ring_cursor=True, **kw)
+    slow = population_learning(agent, env, shared_ring_cursor=False, **kw)
+    for a, b in zip(
+        jax.tree.leaves(fast.agent_states.learner.params),
+        jax.tree.leaves(slow.agent_states.learner.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+    # the re-broadcast cursor matches the per-member cursors
+    np.testing.assert_array_equal(
+        np.asarray(fast.agent_states.replay.cursor),
+        np.asarray(slow.agent_states.replay.cursor),
+    )
+
+
 def test_population_target_stops_when_all_members_reach():
     """target_return stops the sweep only when EVERY member's recent stat is
     at target — tiny-threshold smoke (any learning run clears return 15)."""
