@@ -64,9 +64,16 @@ def main():
         if os.environ.get("BENCH_QNET", "multihead") == "multihead"
         else VanillaQValueNetwork()
     )
+    # BENCH_ACT_DTYPE=bfloat16 turns on act-path mixed precision (the act
+    # forward's activations are the dominant HBM traffic at 128k envs —
+    # docs/DESIGN.md §4); learning stays f32.
+    act_dtype = os.environ.get("BENCH_ACT_DTYPE") or None
     agent = PearlAgent(
         policy_learner=DeepQLearning(
-            q_network=qnet, training_rounds=1, batch_size=batch_size
+            q_network=qnet,
+            training_rounds=1,
+            batch_size=batch_size,
+            act_dtype=act_dtype,
         ),
         replay_buffer=BasicReplayBuffer(capacity=capacity),
     )

@@ -72,6 +72,11 @@ class ActorCriticBase(PolicyLearner):
     training_rounds: int = 1
     batch_size: int = 256
     pmean_axis: Optional[str] = None
+    # Act-path mixed precision (e.g. "bfloat16"), mirroring
+    # DeepTDLearning.act_dtype: the acting forward is cast to this dtype
+    # (params + subjective state), outputs return as f32; learning stays f32.
+    # Opt-in throughput lever for large num_envs (docs/DESIGN.md §4).
+    act_dtype: Optional[str] = None
 
     # Which pieces exist (mirrors the reference's constructor switches).
     @property
@@ -157,35 +162,46 @@ class ActorCriticBase(PolicyLearner):
         )
 
     # ------------------------------------------------------------------- act
-    def _exploit_action_continuous(self, state, subjective_state, key):
+    def _exploit_action_continuous(self, actor_params, subjective_state, key):
         low, high = self.action_space.low, self.action_space.high
         if hasattr(self.actor, "mean_action"):
-            return self.actor.mean_action(
-                state.actor_params, subjective_state, low, high
-            )
-        return self.actor.action(state.actor_params, subjective_state, low, high)
+            return self.actor.mean_action(actor_params, subjective_state, low, high)
+        return self.actor.action(actor_params, subjective_state, low, high)
+
+    def _act_cast(self, state, subjective_state):
+        """Apply `act_dtype` mixed precision to the acting forward's inputs."""
+        actor_params = state.actor_params
+        if self.act_dtype is not None:
+            dt = jnp.dtype(self.act_dtype)
+            actor_params = jax.tree.map(lambda x: x.astype(dt), actor_params)
+            subjective_state = subjective_state.astype(dt)
+        return actor_params, subjective_state
 
     def act(self, state, subjective_state, mask, key, exploit: bool = False):
         B = subjective_state.shape[0]
+        actor_params, subjective_state = self._act_cast(state, subjective_state)
         if self.is_continuous:
             low, high = self.action_space.low, self.action_space.high
             if exploit:
-                action = self._exploit_action_continuous(state, subjective_state, key)
+                action = self._exploit_action_continuous(
+                    actor_params, subjective_state, key
+                )
                 explore_state = state.explore_state
             elif hasattr(self.exploration, "act_continuous"):
                 base = self.actor.action(
-                    state.actor_params, subjective_state, low, high
+                    actor_params, subjective_state, low, high
                 ) if hasattr(self.actor, "action") else self.actor.sample_action(
-                    state.actor_params, subjective_state, key, low, high
+                    actor_params, subjective_state, key, low, high
                 )[0]
                 explore_state, action = self.exploration.act_continuous(
                     state.explore_state, base, low, high, key
                 )
             else:
                 action, _ = self.actor.sample_action(
-                    state.actor_params, subjective_state, key, low, high
+                    actor_params, subjective_state, key, low, high
                 )
                 explore_state = state.explore_state
+            action = action.astype(jnp.float32)
             # Placeholder index for continuous spaces, derived from `action`
             # (not a fresh constant) so it stays axis-varying under shard_map.
             index = (action[:, 0] * 0).astype(jnp.int32)
@@ -194,9 +210,11 @@ class ActorCriticBase(PolicyLearner):
                 ActionChoice(action=action, index=index),
             )
         candidates = self.represented_candidates(B)
+        if self.act_dtype is not None:
+            candidates = candidates.astype(jnp.dtype(self.act_dtype))
         probs = self.actor.get_policy_distribution(
-            state.actor_params, subjective_state, candidates, mask
-        )
+            actor_params, subjective_state, candidates, mask
+        ).astype(jnp.float32)
         exploit_index = masked_argmax(probs, mask)
         if exploit:
             index = exploit_index

@@ -77,6 +77,16 @@ class DeepTDLearning(PolicyLearner):
     # SURVEY.md §2.11 (replacing the reference's vestigial torch.distributed
     # all_reduce). Only meaningful inside shard_map/pjit over a Mesh.
     pmean_axis: Optional[str] = None
+    # Act-path mixed precision (e.g. "bfloat16"): the acting forward pass is
+    # the dominant HBM traffic of the fused step at large num_envs
+    # (docs/DESIGN.md §4 step-cost decomposition — activations of the act-path
+    # MLP at B=131k). When set, `act` casts params + inputs to this dtype so
+    # activations halve and the MXU takes bf16 inputs; scores return as f32
+    # for exploration/argmax. Learning (learn_batch) stays full f32 — the
+    # Bellman targets and gradients are untouched. Opt-in; greedy argmax is
+    # robust to bf16 rounding except at near-ties (tested in
+    # tests/test_act_dtype.py).
+    act_dtype: Optional[str] = None
 
     def optimizer(self):
         return optax.adamw(self.learning_rate, weight_decay=self.weight_decay)
@@ -99,7 +109,14 @@ class DeepTDLearning(PolicyLearner):
     # --- acting ------------------------------------------------------------
     def _scores(self, state, subjective_state, candidates, mask):
         """Action scores used for greedy selection and exploration."""
-        return self.q_network.q_all(state.params, subjective_state, candidates, mask)
+        params = state.params
+        if self.act_dtype is not None:
+            dt = jnp.dtype(self.act_dtype)
+            params = jax.tree.map(lambda x: x.astype(dt), params)
+            subjective_state = subjective_state.astype(dt)
+            candidates = candidates.astype(dt)
+        q = self.q_network.q_all(params, subjective_state, candidates, mask)
+        return q.astype(jnp.float32)
 
     def act(self, state, subjective_state, mask, key, exploit: bool = False):
         B = subjective_state.shape[0]
