@@ -68,6 +68,15 @@ def main():
     # forward's activations are the dominant HBM traffic at 128k envs —
     # docs/DESIGN.md §4); learning stays f32.
     act_dtype = os.environ.get("BENCH_ACT_DTYPE") or None
+    # BENCH_BUFFER=packed stores the whole transition in one (capacity, F)
+    # ring: ONE dynamic_update_slice per push instead of one per field —
+    # targeting the ~110us/step observe/push residual (docs/DESIGN.md §4).
+    if os.environ.get("BENCH_BUFFER") == "packed":
+        from pearl_tpu.replay_buffers.packed import PackedReplayBuffer
+
+        buffer = PackedReplayBuffer(capacity=capacity)
+    else:
+        buffer = BasicReplayBuffer(capacity=capacity)
     agent = PearlAgent(
         policy_learner=DeepQLearning(
             q_network=qnet,
@@ -75,7 +84,7 @@ def main():
             batch_size=batch_size,
             act_dtype=act_dtype,
         ),
-        replay_buffer=BasicReplayBuffer(capacity=capacity),
+        replay_buffer=buffer,
     )
     init_fn, run_fn = make_compiled_runner(
         agent,
