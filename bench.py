@@ -86,12 +86,17 @@ def main():
         ),
         replay_buffer=buffer,
     )
+    # BENCH_DEFERRED=1: chunk-granular replay writes — each chunk's
+    # transitions are collected in the scan's stacked outputs and written to
+    # the ring in ONE contiguous push (1/steps_per_learn the dynamic writes).
+    deferred = os.environ.get("BENCH_DEFERRED") == "1" or None
     init_fn, run_fn = make_compiled_runner(
         agent,
         CartPole(),
         num_envs=num_envs,
         steps_per_learn=steps_per_learn,
         learns_per_call=learns_per_call,
+        deferred_push=deferred,
     )
     key = jax.random.PRNGKey(0)
     t_init = time.perf_counter()

@@ -190,6 +190,25 @@ class PearlAgent:
     ) -> AgentState:
         """Ingest a batched env step: update history, push the transition,
         reset per-env state where episodes ended."""
+        astate, transition, k_push = self.observe_deferred(
+            astate, result, next_obs, key
+        )
+        replay_state = self.replay_buffer.push(astate.replay, transition, k_push)
+        return astate.replace(replay=replay_state)
+
+    def observe_deferred(
+        self,
+        astate: AgentState,
+        result: ActionResult,
+        next_obs: jnp.ndarray,
+        key: PRNGKey,
+    ):
+        """`observe` WITHOUT the replay push: returns (astate', transition,
+        push_key) so a scan-based driver can collect a whole chunk's
+        transitions and write them to the ring in ONE contiguous push
+        (`ReplayBuffer.supports_deferred_push`) — same ring layout, ~1/k the
+        dynamic-write ops. RNG use is identical to `observe`, so act/env
+        streams (and therefore learning curves) match the per-step path."""
         summ = self._summ
         learner = self.policy_learner
         space = learner.action_space
@@ -219,7 +238,6 @@ class PearlAgent:
             cost=(result.cost if self.store_cost else None),
         )
         k_push, k_reset = jax.random.split(key)
-        replay_state = self.replay_buffer.push(astate.replay, transition, k_push)
 
         # Asynchronous per-env episode resets: zero the window and seed it with
         # the post-reset observation.
@@ -235,11 +253,14 @@ class PearlAgent:
             mask_next = None
 
         learner_state = learner.episode_reset(astate.learner, done, k_reset)
-        return astate.replace(
-            learner=learner_state,
-            replay=replay_state,
-            history_carry=carry_next,
-            available_mask=mask_next,
+        return (
+            astate.replace(
+                learner=learner_state,
+                history_carry=carry_next,
+                available_mask=mask_next,
+            ),
+            transition,
+            k_push,
         )
 
     # ----------------------------------------------------------------- learn

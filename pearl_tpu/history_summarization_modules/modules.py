@@ -182,21 +182,40 @@ class LSTMHistorySummarization(HistorySummarizationModule):
         return self.history_length * (obs_dim + action_repr_dim)
 
 
+def _sinusoidal_positions(length: int, dim: int) -> jnp.ndarray:
+    """Fixed sin/cos positional encodings (reference
+    transformer_history_summarization_module.py:78-118, the
+    positional_encoding="sinusoidal" option): PE[p, 2i] = sin(p / 10000^(2i/d)),
+    PE[p, 2i+1] = cos(...)."""
+    pos = jnp.arange(length)[:, None].astype(jnp.float32)
+    div = jnp.exp(
+        jnp.arange(0, dim, 2).astype(jnp.float32) * (-jnp.log(10000.0) / dim)
+    )
+    pe = jnp.zeros((length, dim))
+    pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(pos * div[: dim // 2]))
+    return pe[None]  # (1, T, dim)
+
+
 class _TransformerNet(nn.Module):
     dim: int
     num_layers: int
     num_heads: int
     history_length: int
+    positional_encoding: str = "learned"
 
     @nn.compact
     def __call__(self, x):  # (B, T, F) -> (B, dim)
         B, T, _ = x.shape
         x = nn.Dense(self.dim, name="embed")(x)
-        pos = self.param(
-            "pos_embedding",
-            nn.initializers.normal(0.02),
-            (1, self.history_length, self.dim),
-        )
+        if self.positional_encoding == "sinusoidal":
+            pos = _sinusoidal_positions(self.history_length, self.dim)
+        else:
+            pos = self.param(
+                "pos_embedding",
+                nn.initializers.normal(0.02),
+                (1, self.history_length, self.dim),
+            )
         x = x + pos[:, :T]
         causal_mask = jnp.tril(jnp.ones((T, T), dtype=jnp.bool_))
         for i in range(self.num_layers):
@@ -222,13 +241,24 @@ class TransformerHistorySummarization(HistorySummarizationModule):
     dim: int = 64
     num_layers: int = 2
     num_heads: int = 4
+    # "learned" (trainable embedding) or "sinusoidal" (fixed sin/cos) —
+    # reference transformer_history_summarization_module.py:78-150.
+    positional_encoding: str = "learned"
 
     @property
     def has_params(self) -> bool:
         return True
 
     def _net(self):
-        return _TransformerNet(self.dim, self.num_layers, self.num_heads, self.history_length)
+        if self.positional_encoding not in ("learned", "sinusoidal"):
+            raise ValueError(
+                "positional_encoding must be 'learned' or 'sinusoidal', got "
+                f"{self.positional_encoding!r}"
+            )
+        return _TransformerNet(
+            self.dim, self.num_layers, self.num_heads, self.history_length,
+            self.positional_encoding,
+        )
 
     def init_params(self, key, obs_dim, action_repr_dim):
         x0 = jnp.zeros((1, self.history_length, obs_dim + action_repr_dim))

@@ -19,7 +19,11 @@ distribution is first-class:
   longer than the 8-step history window).
 """
 
-from pearl_tpu.parallel.data_parallel import DataParallelRunner, make_mesh
+from pearl_tpu.parallel.data_parallel import (
+    DataParallelRunner,
+    make_mesh,
+    reshard_agent_state,
+)
 from pearl_tpu.parallel.ensemble_parallel import (
     make_2d_mesh,
     make_ensemble_sharded_learn_batch,
@@ -29,6 +33,7 @@ from pearl_tpu.parallel import multihost
 __all__ = [
     "DataParallelRunner",
     "make_mesh",
+    "reshard_agent_state",
     "make_2d_mesh",
     "make_ensemble_sharded_learn_batch",
     "multihost",

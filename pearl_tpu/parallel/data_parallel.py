@@ -38,6 +38,27 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def reshard_agent_state(stacked_state, n_devices: int):
+    """Re-stack a mesh-stacked AgentState (leading device axis) for a mesh of
+    a different width — the checkpoint-restore path when a DP run resumes on
+    fewer/more chips.
+
+    Learner/safety replicas are identical across the old axis, so any slice is
+    exact. Replay shards are device-local data: shrinking keeps the first
+    `n_devices` shards (the dropped shards' transitions are lost — replay is
+    re-fillable experience, not model state); growing reuses shards cyclically
+    (duplicate experience is benign under with-replacement sampling). Per-env
+    leaves (history carries, masks) are rebuilt by `online_learning` when the
+    restored state is passed with fresh envs.
+    """
+    old = jax.tree.leaves(stacked_state)[0].shape[0]
+    idx = np.arange(n_devices) % old
+    # Materialize as uncommitted (host-sourced) arrays: the slices must not
+    # stay sharded over the OLD device set, or the new mesh's jit rejects
+    # them as incompatibly placed.
+    return jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[idx]), stacked_state)
+
+
 @dataclasses.dataclass(eq=False)
 class DataParallelRunner:
     agent: PearlAgent

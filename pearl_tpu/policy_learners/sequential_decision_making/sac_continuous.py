@@ -113,6 +113,10 @@ class ContinuousSoftActorCritic(ActorCriticBase):
             )
 
         loss, grad = jax.value_and_grad(alpha_loss_fn)(state.extra.log_alpha)
+        if self.pmean_axis:
+            # Keep alpha replicas bit-identical under data parallelism, like
+            # the actor/critic grads (actor_critic_base.py pmean_axis).
+            grad = jax.lax.pmean(grad, self.pmean_axis)
         updates, opt_state = self.alpha_optimizer().update(
             grad, state.extra.opt_state, state.extra.log_alpha
         )

@@ -84,6 +84,10 @@ class HindsightExperienceReplayBuffer(BasicReplayBuffer):
             truncated=jnp.zeros_like(traj.truncated),
         )
 
+    @property
+    def supports_deferred_push(self) -> bool:
+        return False  # per-env trajectory cache pairs rows stepwise
+
     def push(
         self,
         state: HERBufferState,

@@ -45,6 +45,15 @@ class BasicReplayBuffer:
     # Observations/rewards at bf16 precision are ample for RL replay.
     bf16_storage: bool = False
 
+    # Whether a driver may collect a whole chunk's transitions (k steps x B
+    # envs, step-major) and write them in ONE push instead of k per-step
+    # pushes. True when push is stateless in row order (ring write + cursor
+    # bump); overridden False by buffers whose push pairs rows with per-env
+    # caches (SARSA's next-action delay, HER's trajectory cache).
+    @property
+    def supports_deferred_push(self) -> bool:
+        return True
+
     def _store_dtype(self, dtype):
         if self.bf16_storage and dtype == jnp.float32:
             return jnp.bfloat16
@@ -140,3 +149,7 @@ class SingleTransitionReplayBuffer(BasicReplayBuffer):
     (reference examples/single_transition_replay_buffer.py:43-94)."""
 
     capacity: int = 1
+
+    @property
+    def supports_deferred_push(self) -> bool:
+        return False  # a k*B-row write cannot fit the 1-slot ring

@@ -52,6 +52,10 @@ class SARSAReplayBuffer(BasicReplayBuffer):
             pending_valid=jnp.zeros((), jnp.bool_),
         )
 
+    @property
+    def supports_deferred_push(self) -> bool:
+        return False  # per-env pending cache pairs rows stepwise
+
     def push(
         self,
         state: SARSABufferState,

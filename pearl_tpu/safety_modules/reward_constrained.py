@@ -52,6 +52,10 @@ class RCSafetyModuleCostCriticContinuousAction(SafetyModule):
     critic_soft_update_tau: float = 0.005
     critic_hidden_dims: tuple = (64, 64)
     batch_size: int = 256
+    # Mesh axis name for data parallelism: cost-critic grads and the lambda
+    # drive signal are pmean'd so safety replicas stay bit-identical (set by
+    # online_learning(mesh=...), like the learners' pmean_axis).
+    pmean_axis: Any = None
 
     def _critic(self) -> TwinCritic:
         return TwinCritic(hidden_dims=tuple(self.critic_hidden_dims))
@@ -159,6 +163,8 @@ class RCSafetyModuleCostCriticContinuousAction(SafetyModule):
             return (jnp.mean((q1 - y) ** 2) + jnp.mean((q2 - y) ** 2)) / 2.0
 
         loss, grads = jax.value_and_grad(loss_fn)(state.critic_params)
+        if self.pmean_axis is not None:
+            grads = jax.lax.pmean(grads, self.pmean_axis)
         updates, opt = self.optimizer().update(
             grads, state.critic_opt, state.critic_params
         )
@@ -177,6 +183,8 @@ class RCSafetyModuleCostCriticContinuousAction(SafetyModule):
         )
         q1, q2 = critic.q_both(params, subj, a_pi)
         cost_q = jnp.mean(jnp.maximum(q1, q2))
+        if self.pmean_axis is not None:
+            cost_q = jax.lax.pmean(cost_q, self.pmean_axis)
         lam = jnp.clip(
             state.lagrangian
             + self.lr_lambda

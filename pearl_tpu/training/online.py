@@ -8,7 +8,7 @@ The host loop only orchestrates chunks and collects episode statistics, giving
 `target_return_is_reached`-style early stopping (online_learning.py:169-235)
 without breaking the device-side hot path.
 
-Two statistics modes (`stats=`):
+Three statistics modes (`stats=`):
 
 - "full" (default): every step's (done, return, cost, risky) for every env is
   packed into one array and fetched per dispatch — exact per-episode curves,
@@ -19,10 +19,27 @@ Two statistics modes (`stats=`):
   most recent finished-episode return plus cumulative finished-episode
   aggregates, and the host fetches a 6-float summary per chunk. The early-stop
   window statistic becomes "mean over envs of the most recent finished
-  episode" (with num_envs >= target_window this is a moving window of at
-  least target_window recent episodes). This is the production/throughput
-  mode: the host <-> device traffic per dispatch is O(chunks), independent of
+  episode". Host <-> device traffic per dispatch is O(chunks), independent of
   num_envs and steps.
+- "curves": real per-episode returns at production speed — the middle mode
+  between "full" (exact but O(steps*envs) payload) and "summary" (cheap but
+  one coarse scalar per chunk). Finished-episode (return, cost, risky) tuples
+  are scattered into a bounded device-side ring (`curve_capacity` entries) in
+  finish order; the host drains the ring once per dispatch — O(episodes)
+  payload, bounded by the ring. If more than `curve_capacity` episodes finish
+  within one dispatch the oldest are dropped (counted in
+  `OnlineResult.episodes_dropped`); early stopping and `episode_returns` are
+  otherwise identical to "full" mode (same-seed equality is tested).
+
+Multi-device (`mesh=`): pass a `jax.sharding.Mesh` and the SAME driver —
+early stopping, summary/curves accounting, learning_starts — runs data-
+parallel over it ("stacked state" pattern, see pearl_tpu/parallel): each
+device holds `num_envs / n_devices` env instances and a replay shard, the
+learner is replicated (gradients `pmean` over the mesh axis via the learners'
+`pmean_axis`) and stays bit-identical across devices, and per-dispatch stats
+are folded across the device axis on the host. This is the production
+scale-out path (BASELINE.md's aggregate-throughput north star is defined over
+this driver); `parallel.DataParallelRunner` remains the minimal lab runner.
 """
 
 from __future__ import annotations
@@ -46,6 +63,8 @@ _S_SUM_COST = 3  # sum of finished-episode costs (cumulative)
 _S_SUM_RISKY = 4  # sum of finished-episode risky ratios (cumulative)
 _S_ENVS_FIN = 5  # number of envs with >= 1 finished episode
 
+_STATS_MODES = ("full", "summary", "curves")
+
 
 @dataclasses.dataclass
 class OnlineResult:
@@ -67,6 +86,10 @@ class OnlineResult:
     mean_return: float = 0.0
     mean_cost: float = 0.0  # mean finished-episode cost (summary mode)
     mean_risky_ratio: float = 0.0  # mean finished-episode risky-step ratio
+    # Curves mode: episodes that finished but were overwritten in the ring
+    # before the host drained it (0 unless > curve_capacity episodes finished
+    # within a single dispatch).
+    episodes_dropped: int = 0
 
 
 def _make_chunk_fn(
@@ -76,15 +99,38 @@ def _make_chunk_fn(
     do_learn: bool,
     exploit: bool,
     chunks_per_dispatch: int = 1,
-    summary: bool = False,
+    stats_mode="full",
+    curve_capacity: int = 4096,
+    deferred_push: bool = False,
 ):
+    """Build the RAW (unjitted) chunk program
+    `(astate, env_states, ep_ret, ep_aux, key) -> (astate, env_states,
+    ep_ret, ep_aux, stats)`. Callers wrap it in jit / vmap / shard_map.
+    `stats_mode=True` is accepted as a legacy alias for "summary".
+
+    `deferred_push`: collect the chunk's transitions in the scan's stacked
+    outputs and write the ring ONCE per chunk (1/steps_per_chunk the dynamic
+    ring writes; bit-identical layout when capacity % (steps*B) == 0)."""
+    if stats_mode is True:
+        stats_mode = "summary"
+    summary = stats_mode == "summary"
+    curves = stats_mode == "curves"
+    R = curve_capacity
+
     def env_step(carry, k):
         astate, env_states, ep_ret, aux = carry
         ep_cost, ep_risky, ep_len = aux[0], aux[1], aux[2]
         k_act, k_env, k_obs = jax.random.split(k, 3)
         astate, choice = agent.act(astate, k_act, exploit=exploit)
         env_states, result, next_obs = venv.step(env_states, choice.action, k_env)
-        astate = agent.observe(astate, result, next_obs, k_obs)
+        if deferred_push:
+            astate, transition, k_push = agent.observe_deferred(
+                astate, result, next_obs, k_obs
+            )
+            deferred_out = (transition, k_push)
+        else:
+            astate = agent.observe(astate, result, next_obs, k_obs)
+            deferred_out = None
         ep_ret = ep_ret + result.reward
         cost = result.cost if result.cost is not None else jnp.zeros_like(result.reward)
         risky = result.info["risky_sa"] if "risky_sa" in result.info else (cost != 0)
@@ -107,25 +153,50 @@ def _make_chunk_fn(
                 ]
             )
             out = None
+        elif curves:
+            ring_ret, ring_cost, ring_risky, count = aux[3], aux[4], aux[5], aux[6]
+            # Scatter this step's finished episodes into the ring in env
+            # order (matching full mode's step-major-then-env drain order).
+            # Non-done envs target index R -> dropped by mode="drop". The
+            # scatter is ONE op per step over num_envs candidates; collisions
+            # within a step only occur when > R envs finish simultaneously
+            # (num_envs > curve_capacity), where the colliding entries are
+            # dropped episodes either way.
+            ranks = jnp.cumsum(done.astype(jnp.int32))
+            idx = jnp.where(done, (count + ranks - 1) % R, R)
+            ring_ret = ring_ret.at[idx].set(ep_ret, mode="drop")
+            ring_cost = ring_cost.at[idx].set(ep_cost, mode="drop")
+            ring_risky = ring_risky.at[idx].set(risky_ratio, mode="drop")
+            count = count + ranks[-1]
+            out = None
         else:
             out = (done, ep_ret, ep_cost, risky_ratio)
+        out = (out, deferred_out)
         ep_ret = jnp.where(done, 0.0, ep_ret)
         ep_cost = jnp.where(done, 0.0, ep_cost)
         ep_risky = jnp.where(done, 0.0, ep_risky)
         ep_len = jnp.where(done, 0.0, ep_len)
-        aux = (
-            (ep_cost, ep_risky, ep_len, last_ret, envs_fin, agg)
-            if summary
-            else (ep_cost, ep_risky, ep_len)
-        )
+        if summary:
+            aux = (ep_cost, ep_risky, ep_len, last_ret, envs_fin, agg)
+        elif curves:
+            aux = (ep_cost, ep_risky, ep_len, ring_ret, ring_cost, ring_risky, count)
+        else:
+            aux = (ep_cost, ep_risky, ep_len)
         return (astate, env_states, ep_ret, aux), out
 
     def one_chunk(carry, key):
         astate, env_states, ep_ret, aux = carry
         keys = jax.random.split(key, steps_per_chunk + 1)
-        (astate, env_states, ep_ret, aux), outs = jax.lax.scan(
+        (astate, env_states, ep_ret, aux), (outs, deferred_outs) = jax.lax.scan(
             env_step, (astate, env_states, ep_ret, aux), keys[:-1]
         )
+        if deferred_push:
+            transitions, push_keys = deferred_outs
+            flat = jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), transitions
+            )
+            replay = agent.replay_buffer.push(astate.replay, flat, push_keys[0])
+            astate = astate.replace(replay=replay)
         if do_learn:
             astate, _metrics = agent.learn(astate, keys[-1])
         if summary:
@@ -133,6 +204,8 @@ def _make_chunk_fn(
             n_fin = jnp.sum(envs_fin.astype(jnp.float32))
             recent = jnp.sum(last_ret * envs_fin) / jnp.maximum(n_fin, 1.0)
             stats = jnp.stack([agg[0], agg[1], recent, agg[2], agg[3], n_fin])
+        elif curves:
+            stats = aux[6]  # cumulative finished-episode count at chunk end
         else:
             dones, ep_returns, ep_costs, risky_ratios = outs
             # Pack every host-bound statistic into ONE array: the host loop
@@ -143,7 +216,6 @@ def _make_chunk_fn(
             )
         return (astate, env_states, ep_ret, aux), stats
 
-    @jax.jit
     def run_chunk(astate, env_states, ep_ret, ep_aux, key):
         if chunks_per_dispatch == 1:
             # Feed the dispatch key straight through so the RNG stream (and
@@ -151,17 +223,59 @@ def _make_chunk_fn(
             # unbatched driver.
             carry, stats = one_chunk((astate, env_states, ep_ret, ep_aux), key)
             astate, env_states, ep_ret, ep_aux = carry
+            if curves:
+                stats = (stats[None], ep_aux[3], ep_aux[4], ep_aux[5])
             return astate, env_states, ep_ret, ep_aux, stats
         keys = jax.random.split(key, chunks_per_dispatch)
         (astate, env_states, ep_ret, ep_aux), stats = jax.lax.scan(
             one_chunk, (astate, env_states, ep_ret, ep_aux), keys
         )
-        if not summary:
+        if curves:
+            # Per-chunk cumulative counts + the (carry-resident) rings once
+            # per dispatch — the rings are NOT stacked per chunk.
+            stats = (stats, ep_aux[3], ep_aux[4], ep_aux[5])
+        elif not summary:
             # (C, 4, steps, B) -> (4, C*steps, B): chunk-order-preserving.
             stats = jnp.swapaxes(stats, 0, 1).reshape(4, -1, stats.shape[-1])
         return astate, env_states, ep_ret, ep_aux, stats
 
     return run_chunk
+
+
+def _mesh_wrap(run_chunk, mesh, axis):
+    """Lift the raw chunk program over a device mesh ("stacked state"
+    pattern): every carry leaf gains a leading device axis sharded over
+    `axis`; each shard strips it, runs the per-device program with its own
+    key, and re-stacks. Stats come back with a leading device axis for the
+    host to fold."""
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = int(mesh.devices.size)
+
+    def per_shard(astate, env_states, ep_ret, ep_aux, keys):
+        carry = jax.tree.map(lambda x: x[0], (astate, env_states, ep_ret, ep_aux))
+        out = run_chunk(*carry, keys[0])
+        return jax.tree.map(lambda x: x[None], out)
+
+    # check_vma=False: the LSTM summarizer's internal nn.scan initializes its
+    # hidden-state carry with (unvarying) zeros inside the shard, which trips
+    # shard_map's varying-manual-axes consistency check even though the
+    # program is correct; replica consistency is asserted by tests instead
+    # (test_online_curves_and_mesh._replica_spread == 0).
+    sharded = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(astate, env_states, ep_ret, ep_aux, key):
+        keys = jax.random.split(key, n_dev)
+        return sharded(astate, env_states, ep_ret, ep_aux, keys)
+
+    return run
 
 
 # Memoize chunk programs across online_learning/population_learning calls:
@@ -192,6 +306,17 @@ def _cached_program(cache_key, build):
     return fn
 
 
+def _fold_summary_rows(arr: np.ndarray) -> np.ndarray:
+    """(n_dev, C, 6) per-device summary rows -> (C, 6) global rows.
+    Sums fold additively; the recent-return statistic folds as the
+    envs_fin-weighted mean of per-device recents."""
+    w = arr[..., _S_ENVS_FIN]
+    recent = (arr[..., _S_RECENT] * w).sum(axis=0) / np.maximum(w.sum(axis=0), 1.0)
+    out = arr.sum(axis=0)
+    out[..., _S_RECENT] = recent
+    return out
+
+
 def online_learning(
     agent: PearlAgent,
     env,
@@ -210,6 +335,10 @@ def online_learning(
     env_states=None,
     verbose: bool = False,
     stats: str = "full",
+    curve_capacity: int = 4096,
+    mesh=None,
+    mesh_axis: str = "data",
+    deferred_push: Optional[bool] = None,
 ) -> OnlineResult:
     """Run vectorized online learning until `max_steps` total env steps or the
     moving-average episode return over the last `target_window` finished
@@ -223,65 +352,175 @@ def online_learning(
 
     `stats="summary"` keeps episode accounting on device (see module
     docstring) — early stopping stays active, host traffic per dispatch drops
-    to O(chunks_per_dispatch) floats."""
-    if stats not in ("full", "summary"):
-        raise ValueError(f"stats must be 'full' or 'summary', got {stats!r}")
+    to O(chunks_per_dispatch) floats. `stats="curves"` drains real
+    per-episode returns from a bounded device-side ring (`curve_capacity`).
+
+    `mesh=` scales the same driver data-parallel over a `jax.sharding.Mesh`
+    (one axis, named `mesh_axis`): `num_envs` is the GLOBAL env count, split
+    evenly across devices; the learner is replicated with gradient `pmean`;
+    every stats/early-stop feature stays live. With `mesh`, a provided
+    `agent_state` must be mesh-stacked (leading device axis) — e.g. from a
+    previous mesh run or `parallel.reshard_agent_state`."""
+    if stats not in _STATS_MODES:
+        raise ValueError(f"stats must be one of {_STATS_MODES}, got {stats!r}")
     summary = stats == "summary"
+    curves = stats == "curves"
+    if deferred_push is None:
+        deferred_push = False
+    elif deferred_push and not agent.replay_buffer.supports_deferred_push:
+        raise ValueError(
+            f"{type(agent.replay_buffer).__name__} does not support deferred "
+            "(chunk-granular) pushes"
+        )
     orig_agent = agent
     agent = agent.for_env(env)
-    venv = VectorEnv(env, num_envs)
-    key = jax.random.PRNGKey(seed)
-    key, k_env, k_agent = jax.random.split(key, 3)
-    if env_states is None:
-        env_states, obs = venv.reset(k_env)
-        if agent_state is None:
-            agent_state = agent.init(k_agent, venv.observation_dim, num_envs, obs)
-        else:
-            # Evaluating a previously trained agent on fresh envs (possibly a
-            # different num_envs): rebuild the per-env carries around the
-            # learned params.
-            summ = agent.policy_learner.history_summarizer
-            rep, rep_dim, num_actions = agent._rep_dims(venv.observation_dim)
-            carry = summ.init_carry(num_envs, venv.observation_dim, rep_dim)
-            carry = summ.observe(carry, obs, None)
-            space = agent.policy_learner.action_space
-            mask = (
-                jnp.ones((num_envs, num_actions), bool) if num_actions else None
+    n_dev = 1
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        if num_envs % n_dev != 0:
+            raise ValueError(
+                f"num_envs={num_envs} must divide evenly over the "
+                f"{n_dev}-device mesh"
             )
-            from pearl_tpu.policy_learners.policy_learner import ActionChoice
-
-            agent_state = agent_state.replace(
-                history_carry=carry,
-                available_mask=mask,
-                last_action=ActionChoice(
-                    action=jnp.zeros((num_envs, space.action_dim)),
-                    index=jnp.zeros((num_envs,), jnp.int32),
+        agent = dataclasses.replace(
+            agent,
+            policy_learner=dataclasses.replace(
+                agent.policy_learner, pmean_axis=mesh_axis
+            ),
+        )
+        if hasattr(agent.safety_module, "pmean_axis"):
+            agent = dataclasses.replace(
+                agent,
+                safety_module=dataclasses.replace(
+                    agent.safety_module, pmean_axis=mesh_axis
                 ),
             )
+    envs_per_dev = num_envs // n_dev
+    venv = VectorEnv(env, envs_per_dev)
+    key = jax.random.PRNGKey(seed)
+    key, k_env, k_agent = jax.random.split(key, 3)
+
+    def _fresh_per_env_leaves(astate, obs):
+        """Rebuild the per-env carries of a restored AgentState around the
+        learned params (evaluating / resuming on fresh envs, possibly a
+        different num_envs)."""
+        summ = agent.policy_learner.history_summarizer
+        rep, rep_dim, num_actions = agent._rep_dims(venv.observation_dim)
+        carry = summ.init_carry(envs_per_dev, venv.observation_dim, rep_dim)
+        carry = summ.observe(carry, obs, None)
+        space = agent.policy_learner.action_space
+        mask = jnp.ones((envs_per_dev, num_actions), bool) if num_actions else None
+        from pearl_tpu.policy_learners.policy_learner import ActionChoice
+
+        return astate.replace(
+            history_carry=carry,
+            available_mask=mask,
+            last_action=ActionChoice(
+                action=jnp.zeros((envs_per_dev, space.action_dim)),
+                index=jnp.zeros((envs_per_dev,), jnp.int32),
+            ),
+        )
+
+    if env_states is None:
+        if mesh is None:
+            env_states, obs = venv.reset(k_env)
+            if agent_state is None:
+                agent_state = agent.init(
+                    k_agent, venv.observation_dim, envs_per_dev, obs
+                )
+            else:
+                agent_state = _fresh_per_env_leaves(agent_state, obs)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            restored = agent_state
+            if restored is not None:
+                lead = jax.tree.leaves(restored.learner)[0].shape[0]
+                if lead != n_dev:
+                    raise ValueError(
+                        f"agent_state is stacked for {lead} devices, mesh has "
+                        f"{n_dev}; use parallel.reshard_agent_state first"
+                    )
+
+                def init_shard(env_keys, restored):
+                    env_states, obs = venv.reset(env_keys[0])
+                    astate = _fresh_per_env_leaves(
+                        jax.tree.map(lambda x: x[0], restored), obs
+                    )
+                    return jax.tree.map(lambda x: x[None], (astate, env_states))
+
+                init_fn = jax.jit(
+                    jax.shard_map(
+                        init_shard,
+                        mesh=mesh,
+                        in_specs=(P(mesh_axis), P(mesh_axis)),
+                        out_specs=P(mesh_axis),
+                    )
+                )
+                env_keys = jax.random.split(k_env, n_dev)
+                agent_state, env_states = init_fn(env_keys, restored)
+            else:
+
+                def init_shard(env_keys, shared_key):
+                    env_states, obs = venv.reset(env_keys[0])
+                    astate = agent.init(
+                        shared_key, venv.observation_dim, envs_per_dev, obs
+                    )
+                    return jax.tree.map(lambda x: x[None], (astate, env_states))
+
+                init_fn = jax.jit(
+                    jax.shard_map(
+                        init_shard,
+                        mesh=mesh,
+                        in_specs=(P(mesh_axis), P()),
+                        out_specs=P(mesh_axis),
+                    )
+                )
+                env_keys = jax.random.split(k_env, n_dev)
+                agent_state, env_states = init_fn(env_keys, k_agent)
 
     def chunk_for(do_learn: bool):
         cache_key = (
             weakref.ref(orig_agent), env, num_envs, learn_every_k_steps,
-            do_learn, exploit, chunks_per_dispatch, summary,
+            do_learn, exploit, chunks_per_dispatch, stats, curve_capacity,
+            mesh, mesh_axis, deferred_push,
         )
-        return _cached_program(
-            cache_key,
-            lambda: _make_chunk_fn(
+
+        def build():
+            raw = _make_chunk_fn(
                 agent, venv, learn_every_k_steps, do_learn, exploit,
-                chunks_per_dispatch, summary,
-            ),
-        )
+                chunks_per_dispatch, stats, curve_capacity, deferred_push,
+            )
+            if mesh is None:
+                return jax.jit(raw)
+            return _mesh_wrap(raw, mesh, mesh_axis)
+
+        return _cached_program(cache_key, build)
 
     run_chunk = chunk_for(learn)
     warm_chunk = chunk_for(False) if learning_starts > 0 else None
 
-    ep_ret = jnp.zeros((num_envs,))
-    ep_aux = (jnp.zeros((num_envs,)), jnp.zeros((num_envs,)), jnp.zeros((num_envs,)))
+    B = envs_per_dev
+    ep_ret = jnp.zeros((B,))
+    ep_aux = (jnp.zeros((B,)), jnp.zeros((B,)), jnp.zeros((B,)))
     if summary:
         ep_aux = ep_aux + (
-            jnp.zeros((num_envs,)),  # last finished-episode return per env
-            jnp.zeros((num_envs,), bool),  # env finished >= 1 episode
+            jnp.zeros((B,)),  # last finished-episode return per env
+            jnp.zeros((B,), bool),  # env finished >= 1 episode
             jnp.zeros((4,)),  # cumulative [n_fin, sum_ret, sum_cost, sum_risky]
+        )
+    elif curves:
+        R = curve_capacity
+        ep_aux = ep_aux + (
+            jnp.zeros((R,)),  # finished-episode return ring
+            jnp.zeros((R,)),  # finished-episode cost ring
+            jnp.zeros((R,)),  # finished-episode risky-ratio ring
+            jnp.zeros((), jnp.int32),  # cumulative finished count
+        )
+    if mesh is not None:
+        ep_ret = jnp.broadcast_to(ep_ret, (n_dev,) + ep_ret.shape)
+        ep_aux = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_dev,) + x.shape), ep_aux
         )
     finished: list = []
     finished_costs: list = []
@@ -290,13 +529,49 @@ def online_learning(
     last_summary = np.zeros((6,))
     total = 0
     reached = False
+    drained = [0] * n_dev  # curves mode: episodes drained so far, per device
+    dropped = 0
+
+    def _drain_ring(counts, ring_ret, ring_cost, ring_risky, dev):
+        """Pull the episodes finished since the last drain out of one
+        device's ring (finish order preserved; oldest beyond the ring
+        capacity are lost and tallied)."""
+        nonlocal dropped
+        R = ring_ret.shape[0]
+        end = int(counts[-1])
+        new = end - drained[dev]
+        if new <= 0:
+            return
+        lost = max(0, new - R)
+        dropped += lost
+        start = end - (new - lost)
+        idx = np.arange(start, end) % R
+        finished.extend(ring_ret[idx].tolist())
+        finished_costs.extend(ring_cost[idx].tolist())
+        finished_risky.extend(ring_risky[idx].tolist())
+        drained[dev] = end
 
     def consume(stats_dev, steps_done):
         """Fetch one dispatch's stats and fold finished episodes in."""
         nonlocal reached, last_summary
-        arr = np.asarray(stats_dev)
-        if summary:
-            rows = arr.reshape(-1, 6)
+        if curves:
+            counts, ring_ret, ring_cost, ring_risky = (
+                np.asarray(x) for x in stats_dev
+            )
+            if mesh is None:
+                _drain_ring(counts, ring_ret, ring_cost, ring_risky, 0)
+            else:
+                for dev in range(n_dev):
+                    _drain_ring(
+                        counts[dev], ring_ret[dev], ring_cost[dev],
+                        ring_risky[dev], dev,
+                    )
+        elif summary:
+            arr = np.asarray(stats_dev)
+            if mesh is None:
+                rows = arr.reshape(-1, 6)
+            else:
+                rows = _fold_summary_rows(arr.reshape(n_dev, -1, 6))
             curve.extend(rows[:, _S_RECENT].tolist())
             last_summary = rows[-1]
             if verbose:
@@ -317,10 +592,16 @@ def online_learning(
                 if hit.any():
                     reached = True
             return
-        d = arr[0].reshape(-1) > 0.5
-        finished.extend(arr[1].reshape(-1)[d].tolist())
-        finished_costs.extend(arr[2].reshape(-1)[d].tolist())
-        finished_risky.extend(arr[3].reshape(-1)[d].tolist())
+        else:
+            arr = np.asarray(stats_dev)
+            if mesh is not None:
+                # (n_dev, 4, S, B') -> (4, S, n_dev*B'): same step-major
+                # drain; env order within a step is device-blocked.
+                arr = np.concatenate(list(arr), axis=-1)
+            d = arr[0].reshape(-1) > 0.5
+            finished.extend(arr[1].reshape(-1)[d].tolist())
+            finished_costs.extend(arr[2].reshape(-1)[d].tolist())
+            finished_risky.extend(arr[3].reshape(-1)[d].tolist())
         if verbose and finished:
             window = finished[-target_window:]
             print(
@@ -373,4 +654,8 @@ def online_learning(
         reached_target=reached,
         episode_costs=np.asarray(finished_costs),
         episode_risky_ratios=np.asarray(finished_risky),
+        # curves: `drained` holds the cumulative device-side finished count
+        # (dropped episodes included); full: every episode was fetched.
+        total_episodes=sum(drained) if curves else len(finished),
+        episodes_dropped=dropped,
     )

@@ -190,7 +190,7 @@ def population_learning(
                 jax.vmap(
                     _make_chunk_fn(
                         bound, venv, learn_every_k_steps, do_learn, exploit,
-                        chunks_per_dispatch, True,
+                        chunks_per_dispatch, "summary",
                     ),
                     in_axes=(state_axes, 0, 0, 0, 0),
                     out_axes=(state_axes, 0, 0, 0, 0),

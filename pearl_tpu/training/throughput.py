@@ -5,6 +5,13 @@ every chunk), this fuses `learns_per_call` x (steps_per_learn env steps +
 one learn) into ONE jitted program with only scalar reductions as outputs —
 the configuration used to measure env-steps/s against the >=1M steps/s
 north star (BASELINE.md).
+
+`deferred_push=True` collects each chunk's transitions in the scan's stacked
+outputs (static-index stores) and writes them to the replay ring in ONE
+contiguous push of steps_per_learn * num_envs rows — 1/steps_per_learn the
+dynamic ring writes of the per-step path, same ring layout whenever
+capacity % (steps_per_learn * num_envs) == 0. Requires
+`replay_buffer.supports_deferred_push`.
 """
 
 from __future__ import annotations
@@ -26,6 +33,7 @@ def make_compiled_runner(
     steps_per_learn: int = 8,
     learns_per_call: int = 16,
     learn: bool = True,
+    deferred_push: Optional[bool] = None,
 ):
     """Returns (init_fn, run_fn).
 
@@ -36,6 +44,13 @@ def make_compiled_runner(
     """
     agent = agent.for_env(env)
     venv = VectorEnv(env, num_envs)
+    if deferred_push is None:
+        deferred_push = False
+    if deferred_push and not agent.replay_buffer.supports_deferred_push:
+        raise ValueError(
+            f"{type(agent.replay_buffer).__name__} does not support deferred "
+            "(chunk-granular) pushes"
+        )
 
     def init_fn(key):
         k_env, k_agent = jax.random.split(key)
@@ -48,18 +63,33 @@ def make_compiled_runner(
         k_act, k_env, k_obs = jax.random.split(k, 3)
         astate, choice = agent.act(astate, k_act)
         env_states, result, next_obs = venv.step(env_states, choice.action, k_env)
-        astate = agent.observe(astate, result, next_obs, k_obs)
+        if deferred_push:
+            astate, transition, k_push = agent.observe_deferred(
+                astate, result, next_obs, k_obs
+            )
+            extra = (transition, k_push)
+        else:
+            astate = agent.observe(astate, result, next_obs, k_obs)
+            extra = None
         return (astate, env_states), (
             jnp.sum(result.reward),
             jnp.sum(result.done.astype(jnp.int32)),
+            extra,
         )
 
     def learn_chunk(carry, k):
         astate, env_states = carry
         keys = jax.random.split(k, steps_per_learn + 1)
-        (astate, env_states), (rew, eps) = jax.lax.scan(
+        (astate, env_states), (rew, eps, extra) = jax.lax.scan(
             env_step, (astate, env_states), keys[:-1]
         )
+        if deferred_push:
+            transitions, push_keys = extra
+            flat = jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), transitions
+            )
+            replay = agent.replay_buffer.push(astate.replay, flat, push_keys[0])
+            astate = astate.replace(replay=replay)
         if learn:
             astate, _ = agent.learn(astate, keys[-1])
         return (astate, env_states), (jnp.sum(rew), jnp.sum(eps))

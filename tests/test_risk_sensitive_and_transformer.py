@@ -84,6 +84,58 @@ def test_transformer_summarizer_trains():
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
+def test_transformer_sinusoidal_positional_encoding():
+    """The sinusoidal option (reference
+    transformer_history_summarization_module.py:78-150): fixed sin/cos
+    encodings — no pos_embedding parameter, same output shape, finite
+    training, and the PE matrix matches the textbook formula."""
+    import jax.numpy as jnp
+
+    from pearl_tpu.envs import CartPole, PartialObservabilityWrapper
+    from pearl_tpu.history_summarization_modules.modules import (
+        _sinusoidal_positions,
+    )
+    from pearl_tpu.policy_learners.sequential_decision_making import DeepQLearning
+
+    pe = np.asarray(_sinusoidal_positions(8, 16)[0])
+    assert pe.shape == (8, 16)
+    np.testing.assert_allclose(pe[3, 0], np.sin(3.0), atol=1e-6)
+    np.testing.assert_allclose(pe[3, 1], np.cos(3.0), atol=1e-6)
+    np.testing.assert_allclose(
+        pe[5, 2], np.sin(5.0 / 10000 ** (2 / 16)), atol=1e-6
+    )
+
+    env = PartialObservabilityWrapper(env=CartPole(), observed_indices=(0, 2))
+    for enc, has_pos in (("sinusoidal", False), ("learned", True)):
+        summ = TransformerHistorySummarization(
+            history_length=4, dim=16, num_layers=1, num_heads=2,
+            positional_encoding=enc,
+        )
+        params = summ.init_params(jax.random.PRNGKey(0), 2, 2)
+        assert ("pos_embedding" in params) == has_pos, enc
+        out = summ.forward(params, jnp.zeros((3, 4 * 4)))
+        assert out.shape == (3, 16)
+        agent = PearlAgent(
+            policy_learner=DeepQLearning(
+                training_rounds=1, batch_size=16, history_summarizer=summ
+            ),
+            replay_buffer=BasicReplayBuffer(capacity=256),
+        )
+        res = online_learning(
+            agent, env, num_envs=4, max_steps=128, learn_every_k_steps=8,
+            learning_starts=32, seed=0,
+        )
+        leaves = jax.tree.leaves(res.agent_state.learner.summarizer_params)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="positional_encoding"):
+        TransformerHistorySummarization(positional_encoding="bogus").init_params(
+            jax.random.PRNGKey(0), 2, 2
+        )
+
+
 def test_transformer_dqn_learns_partial_obs_cartpole():
     """Learning-signal twin of the LSTM test
     (test_wrappers_and_history.py::test_lstm_dqn_learns_partial_obs_cartpole):
