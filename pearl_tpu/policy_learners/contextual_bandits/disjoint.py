@@ -42,14 +42,22 @@ class DisjointBanditState:
 
 @dataclasses.dataclass(frozen=True, kw_only=True, eq=False)
 class DisjointBanditContainer(ContextualBanditBase):
-    # Per-arm learner providing the arm protocol. Homogeneous arms (the
-    # reference's tests and benchmarks always use one type) vectorize into a
-    # single vmapped update/forward — the TPU-native ensemble_forward.
+    # Per-arm learner(s) providing the arm protocol. ONE learner means
+    # homogeneous arms (the reference's tests and benchmarks always use one
+    # type), which vectorize into a single vmapped update/forward — the
+    # TPU-native ensemble_forward. A SEQUENCE of per-arm learners (reference
+    # disjoint_bandit.py:77-90 accepts an arbitrary list, mixable per arm)
+    # is grouped by configuration: each homogeneous run-of-the-list group
+    # becomes one vmapped stack, so a [lin, lin, neural] container compiles
+    # two vmapped programs, not three sequential arms.
     arm_learner: Any = dataclasses.field(default_factory=LinearBandit)
     l2_reg_lambda: float = 1.0  # convenience for default LinearBandit arms
     state_features_only: bool = True  # disjoint arms score the raw context
 
     def __post_init__(self):
+        if isinstance(self.arm_learner, (list, tuple)):
+            object.__setattr__(self, "arm_learner", tuple(self.arm_learner))
+            return
         if (
             isinstance(self.arm_learner, LinearBandit)
             and self.l2_reg_lambda != 1.0
@@ -61,11 +69,45 @@ class DisjointBanditContainer(ContextualBanditBase):
                 dataclasses.replace(self.arm_learner, l2_reg_lambda=self.l2_reg_lambda),
             )
 
+    # ------------------------------------------------- heterogeneous grouping
+    @property
+    def _heterogeneous(self) -> bool:
+        return isinstance(self.arm_learner, tuple)
+
+    def _groups(self):
+        """Partition the per-arm learner list into maximal runs of identical
+        configuration: [(learner, [arm indices]), ...]. Identical configs
+        share one traced/vmapped program; arm order is preserved via the
+        index lists."""
+        groups = []
+        for i, learner in enumerate(self.arm_learner):
+            key = (type(learner), repr(learner))
+            for g_key, g_learner, idxs in groups:
+                if g_key == key:
+                    idxs.append(i)
+                    break
+            else:
+                groups.append((key, learner, [i]))
+        return [(learner, idxs) for _, learner, idxs in groups]
+
     def init(self, key, observation_dim, action_space, num_envs):
         f = self.feature_dim(observation_dim)
         num_arms = action_space.n
         keys = jax.random.split(key, num_arms)
-        models = jax.vmap(lambda k: self.arm_learner.arm_init(k, f))(keys)
+        if self._heterogeneous:
+            if len(self.arm_learner) != num_arms:
+                raise ValueError(
+                    f"{len(self.arm_learner)} arm learners for a "
+                    f"{num_arms}-arm action space"
+                )
+            models = tuple(
+                jax.vmap(lambda k, lrn=learner: lrn.arm_init(k, f))(
+                    keys[jnp.asarray(idxs)]
+                )
+                for learner, idxs in self._groups()
+            )
+        else:
+            models = jax.vmap(lambda k: self.arm_learner.arm_init(k, f))(keys)
         return DisjointBanditState(
             models=models, explore_state=self.exploration.init(num_envs)
         )
@@ -73,6 +115,23 @@ class DisjointBanditContainer(ContextualBanditBase):
     def mu_sigma(self, state: DisjointBanditState, features):
         # features: (B, A, f) — per-arm contexts (identical state features for
         # plain disjoint; 3-D per-arm states arrive here naturally).
+        if self._heterogeneous:
+            groups = self._groups()
+            cols_mu, cols_sigma, perm = [], [], []
+            for g, (learner, idxs) in enumerate(groups):
+                mu_g, sigma_g = jax.vmap(
+                    learner.arm_mu_sigma, in_axes=(0, 1), out_axes=1
+                )(state.models[g], features[:, jnp.asarray(idxs), :])
+                cols_mu.append(mu_g)
+                cols_sigma.append(sigma_g)
+                perm.extend(idxs)
+            inv = [0] * len(perm)
+            for pos, arm in enumerate(perm):
+                inv[arm] = pos
+            inv = jnp.asarray(inv)
+            mu = jnp.concatenate(cols_mu, axis=1)[:, inv]
+            sigma = jnp.concatenate(cols_sigma, axis=1)[:, inv]
+            return mu, sigma
         mu, sigma = jax.vmap(
             self.arm_learner.arm_mu_sigma, in_axes=(0, 1), out_axes=1
         )(state.models, features)
@@ -93,13 +152,31 @@ class DisjointBanditContainer(ContextualBanditBase):
     def learn_batch(self, state: DisjointBanditState, batch):
         feats = self._per_arm_feats(batch)
         weight = batch.weight if batch.weight is not None else jnp.ones_like(batch.reward)
+        feats_axis = 1 if feats.ndim == 3 else None
+
+        if self._heterogeneous:
+            models = []
+            for g, (learner, idxs) in enumerate(self._groups()):
+                idx_arr = jnp.asarray(idxs)
+
+                def per_arm(arm_state, arm_feats, arm_idx, lrn=learner):
+                    w = weight * (batch.action_index == arm_idx).astype(jnp.float32)
+                    return lrn.arm_update(arm_state, arm_feats, batch.reward, w)
+
+                g_feats = feats[:, idx_arr, :] if feats.ndim == 3 else feats
+                models.append(
+                    jax.vmap(per_arm, in_axes=(0, feats_axis, 0))(
+                        state.models[g], g_feats, idx_arr
+                    )
+                )
+            return state.replace(models=tuple(models)), {}
+
         num_arms = jax.tree.leaves(state.models)[0].shape[0]
 
         def per_arm(arm_state, arm_feats, arm_idx):
             w = weight * (batch.action_index == arm_idx).astype(jnp.float32)
             return self.arm_learner.arm_update(arm_state, arm_feats, batch.reward, w)
 
-        feats_axis = 1 if feats.ndim == 3 else None
         models = jax.vmap(per_arm, in_axes=(0, feats_axis, 0))(
             state.models, feats, jnp.arange(num_arms)
         )

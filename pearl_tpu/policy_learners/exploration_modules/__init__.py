@@ -7,6 +7,14 @@ from pearl_tpu.policy_learners.exploration_modules.common import (
     PropensityExploration,
     Warmup,
 )
+from pearl_tpu.policy_learners.exploration_modules.contextual_bandits import (
+    BanditExplorationModule,
+    FastCBExploration,
+    SquareCBExploration,
+    ThompsonSamplingExplorationLinear,
+    UCBExploration,
+    VanillaUCBExploration,
+)
 from pearl_tpu.policy_learners.exploration_modules.deep_exploration import (
     DeepExploration,
 )
@@ -20,4 +28,10 @@ __all__ = [
     "NormalDistributionExploration",
     "Warmup",
     "DeepExploration",
+    "BanditExplorationModule",
+    "UCBExploration",
+    "VanillaUCBExploration",
+    "ThompsonSamplingExplorationLinear",
+    "SquareCBExploration",
+    "FastCBExploration",
 ]

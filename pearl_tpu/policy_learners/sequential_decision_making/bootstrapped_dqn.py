@@ -72,9 +72,12 @@ class BootstrappedDQN(DeepTDLearning):
     def act(self, state, subjective_state, mask, key, exploit: bool = False):
         B = subjective_state.shape[0]
         candidates = self.represented_candidates(B)
+        full, subjective_state, candidates = self._act_cast(
+            self._full(state.params, state), subjective_state, candidates
+        )
         q_ens = self.q_network.q_ensemble(
-            self._full(state.params, state), subjective_state, candidates, mask
-        )  # (B, K, A)
+            full, subjective_state, candidates, mask
+        ).astype(jnp.float32)  # (B, K, A)
         exploit_index = masked_argmax(jnp.mean(q_ens, axis=1), mask)
         if exploit:
             index = exploit_index

@@ -107,14 +107,22 @@ class DeepTDLearning(PolicyLearner):
         )
 
     # --- acting ------------------------------------------------------------
+    def _act_cast(self, params, *arrays):
+        """Apply act-path mixed precision: cast params + input arrays to
+        `act_dtype` (no-op when unset). EVERY overriding act/score path must
+        route its forward inputs through this helper so `act_dtype` is never
+        a silent no-op (QR-DQN quantiles, BootstrappedDQN ensemble)."""
+        if self.act_dtype is None:
+            return (params,) + arrays
+        dt = jnp.dtype(self.act_dtype)
+        params = jax.tree.map(lambda x: x.astype(dt), params)
+        return (params,) + tuple(a.astype(dt) for a in arrays)
+
     def _scores(self, state, subjective_state, candidates, mask):
         """Action scores used for greedy selection and exploration."""
-        params = state.params
-        if self.act_dtype is not None:
-            dt = jnp.dtype(self.act_dtype)
-            params = jax.tree.map(lambda x: x.astype(dt), params)
-            subjective_state = subjective_state.astype(dt)
-            candidates = candidates.astype(dt)
+        params, subjective_state, candidates = self._act_cast(
+            state.params, subjective_state, candidates
+        )
         q = self.q_network.q_all(params, subjective_state, candidates, mask)
         return q.astype(jnp.float32)
 

@@ -50,9 +50,12 @@ class QuantileRegressionDeepQLearning(DeepTDLearning):
         return True
 
     def _scores(self, state, subjective_state, candidates, mask):
-        quantiles = self.q_network.quantiles_all(
-            state.params, subjective_state, candidates, mask
+        params, subjective_state, candidates = self._act_cast(
+            state.params, subjective_state, candidates
         )
+        quantiles = self.q_network.quantiles_all(
+            params, subjective_state, candidates, mask
+        ).astype(jnp.float32)
         return self.safety.q_values_under_risk_metric(quantiles)
 
     def learn_batch(self, state, batch: TransitionBatch):

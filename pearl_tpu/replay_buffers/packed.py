@@ -43,6 +43,21 @@ class PackedReplayBuffer(BasicReplayBuffer):
     """
 
     def init(self, example: TransitionBatch) -> ReplayBufferState:
+        if self.bf16_storage:
+            raise ValueError(
+                "PackedReplayBuffer stores every field through one float32 "
+                "ring; bf16_storage is not supported (use BasicReplayBuffer "
+                "for bf16 per-field storage)."
+            )
+        for leaf in jax.tree.leaves(example):
+            # All fields round-trip through float32: integers are exact only
+            # within +/-2^24 (plenty for action indices / bootstrap masks),
+            # but 64-bit fields would corrupt silently — fail loudly.
+            if jnp.issubdtype(leaf.dtype, jnp.integer) and leaf.dtype.itemsize > 4:
+                raise ValueError(
+                    f"PackedReplayBuffer cannot store {leaf.dtype} fields "
+                    "exactly through its float32 ring; use BasicReplayBuffer."
+                )
         template = jax.tree.map(
             lambda x: jnp.zeros((0,) + tuple(x.shape[1:]), x.dtype), example
         )
@@ -72,15 +87,7 @@ class PackedReplayBuffer(BasicReplayBuffer):
     ) -> ReplayBufferState:
         del key
         n = batch.reward.shape[0]
-        if self.capacity % n != 0:
-            import warnings
-
-            warnings.warn(
-                f"Replay capacity {self.capacity} is not a multiple of the push "
-                f"batch size {n}; the last capacity % n slots are never written "
-                f"(bump-ring, see BasicReplayBuffer.push).",
-                stacklevel=2,
-            )
+        self._warn_if_capacity_misaligned(n)
         start = jnp.where(state.cursor + n <= self.capacity, state.cursor, 0)
         packed = jax.lax.dynamic_update_slice_in_dim(
             state.storage["packed"], self._pack(batch), start, axis=0

@@ -54,6 +54,22 @@ class BasicReplayBuffer:
     def supports_deferred_push(self) -> bool:
         return True
 
+    def _warn_if_capacity_misaligned(self, push_size: int) -> None:
+        """Shared bump-ring misalignment warning (used by every push
+        implementation so the message stays in sync across layouts)."""
+        if self.capacity % push_size != 0:
+            import warnings
+
+            warnings.warn(
+                f"Replay capacity {self.capacity} is not a multiple of the "
+                f"push batch size {push_size}: the bump-ring write restarts "
+                f"at slot 0 when a batch would not fit, so the last "
+                f"capacity % n = {self.capacity % push_size} slots are never "
+                f"written or sampled. Use capacity = k * {push_size} for the "
+                f"full capacity.",
+                stacklevel=3,
+            )
+
     def _store_dtype(self, dtype):
         if self.bf16_storage and dtype == jnp.float32:
             return jnp.bfloat16
@@ -93,17 +109,7 @@ class BasicReplayBuffer:
         """
         del key
         n = batch.reward.shape[0]
-        if self.capacity % n != 0:
-            import warnings
-
-            warnings.warn(
-                f"Replay capacity {self.capacity} is not a multiple of the push "
-                f"batch size {n}: the bump-ring write restarts at slot 0 when a "
-                f"batch would not fit, so the last capacity % n = "
-                f"{self.capacity % n} slots are never written or sampled. Use "
-                f"capacity = k * {n} for the full capacity.",
-                stacklevel=2,
-            )
+        self._warn_if_capacity_misaligned(n)
         start = jnp.where(state.cursor + n <= self.capacity, state.cursor, 0)
         storage = jax.tree.map(
             lambda buf, v: jax.lax.dynamic_update_slice_in_dim(

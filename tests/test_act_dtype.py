@@ -125,3 +125,36 @@ def test_bf16_actor_critic_continuous_and_discrete():
     _, e16 = d16.act(dstate, dobs, None, jax.random.PRNGKey(5), exploit=True)
     agree = (np.asarray(e32.index) == np.asarray(e16.index)).mean()
     assert agree > 0.98
+
+
+def test_act_dtype_honored_by_qrdqn_and_bootstrapped():
+    """ADVICE r2: subclasses overriding the scoring path must route through
+    _act_cast so act_dtype is never a silent no-op."""
+    import jax
+    import jax.numpy as jnp
+
+    from pearl_tpu.api.spaces import DiscreteActionSpace
+    from pearl_tpu.neural_networks.q_value_networks import EnsembleQValueNetwork
+    from pearl_tpu.policy_learners.sequential_decision_making import (
+        BootstrappedDQN,
+        QuantileRegressionDeepQLearning,
+    )
+
+    space = DiscreteActionSpace.discrete(2)
+    for learner in (
+        QuantileRegressionDeepQLearning(act_dtype="bfloat16").bind(space),
+        BootstrappedDQN(
+            q_network=EnsembleQValueNetwork(ensemble_size=2, hidden_dims=(8,)),
+            act_dtype="bfloat16",
+        ).bind(space),
+    ):
+        state = learner.init(jax.random.PRNGKey(0), 4, space, 3)
+        # The shared cast helper actually downcasts.
+        params, subj = learner._act_cast(state.params, jnp.zeros((3, 4)))
+        assert subj.dtype == jnp.bfloat16
+        assert all(x.dtype == jnp.bfloat16 for x in jax.tree.leaves(params))
+        # And act runs end-to-end with finite f32 outputs.
+        _, choice = learner.act(
+            state, jnp.ones((3, 4)), None, jax.random.PRNGKey(1)
+        )
+        assert choice.index.shape == (3,)

@@ -224,6 +224,69 @@ def test_disjoint_container_neural_arms_learn_ground_truth():
     assert (np.asarray(choice.index) == true.argmax(1)).mean() > 0.95
 
 
+def test_disjoint_container_heterogeneous_mixed_arms():
+    """A LIST of per-arm learners with MIXED types (reference
+    disjoint_bandit.py:77-90 accepts arbitrary ContextualBanditBase instances
+    per arm): arms [linear, linear, neural] recover the known per-arm reward
+    function — the two linear arms via one vmapped group, the neural arm via
+    its own — and greedy acting picks the best arm."""
+    from pearl_tpu.api.spaces import DiscreteActionSpace
+    from pearl_tpu.policy_learners.contextual_bandits import NeuralBandit
+
+    W, batch = _disjoint_ground_truth_batch(seed=6)
+    space = DiscreteActionSpace.discrete(3)
+    learner = DisjointBanditContainer(
+        arm_learner=[
+            LinearBandit(l2_reg_lambda=1e-4),
+            LinearBandit(l2_reg_lambda=1e-4),
+            NeuralBandit(hidden_dims=(32, 32), learning_rate=3e-3),
+        ],
+        exploration=UCBExploration(alpha=0.0),
+    ).bind(space)
+    # Two groups: the identical linear arms fold into one vmapped stack.
+    groups = learner._groups()
+    assert [idxs for _, idxs in groups] == [[0, 1], [2]]
+    state = learner.init(jax.random.PRNGKey(0), 4, space, 8)
+
+    @jax.jit
+    def epoch(state, _):
+        state, _m = learner.learn_batch(state, batch)
+        return state, None
+
+    # Closed-form linear arms converge in one fold; the neural arm needs
+    # epochs (it re-consumes the same frozen batch).
+    state, _ = jax.lax.scan(epoch, state, None, length=300)
+
+    from pearl_tpu.neural_networks.contextual_bandit import LinearRegression
+
+    lr = LinearRegression(feature_dim=4)
+    lin_coefs = jax.vmap(lambda s: lr.coefs(s))(state.models[0])  # (2, 1+f)
+    np.testing.assert_allclose(np.asarray(lin_coefs[:, 1:]), W[:2], atol=0.02)
+
+    ctx = np.random.RandomState(1).uniform(-1, 1, (256, 4)).astype(np.float32)
+    mu, _ = learner.mu_sigma(state, learner.arm_features(jnp.asarray(ctx)))
+    true = ctx @ W.T
+    assert float(jnp.mean((mu - true) ** 2)) < 0.01
+    _, choice = learner.act(
+        state, jnp.asarray(ctx), None, jax.random.PRNGKey(1), exploit=True
+    )
+    assert (np.asarray(choice.index) == true.argmax(1)).mean() > 0.95
+
+
+def test_disjoint_container_heterogeneous_arm_count_mismatch():
+    from pearl_tpu.api.spaces import DiscreteActionSpace
+
+    space = DiscreteActionSpace.discrete(3)
+    learner = DisjointBanditContainer(
+        arm_learner=[LinearBandit(), LinearBandit()],
+        exploration=UCBExploration(alpha=0.0),
+    ).bind(space)
+    import pytest
+
+    with pytest.raises(ValueError, match="arm learners"):
+        learner.init(jax.random.PRNGKey(0), 4, space, 8)
+
+
 def test_disjoint_container_per_arm_3d_states():
     """3-D (B, num_arms, f) per-arm states route state[:, i, :] to arm i
     (reference disjoint_bandit.py:92-100)."""

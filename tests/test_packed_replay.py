@@ -63,3 +63,28 @@ def test_packed_end_to_end_dqn():
     )
     assert res.total_steps == 4096
     assert np.isfinite(res.episode_returns).all()
+
+
+def test_packed_rejects_bf16_and_wide_ints():
+    """ADVICE r2: bf16_storage and 64-bit integer fields are silently
+    unsupported by the f32 ring -> fail loudly at init."""
+    import jax.numpy as jnp
+    import pytest
+
+    from pearl_tpu.replay_buffers.packed import PackedReplayBuffer
+    from pearl_tpu.replay_buffers.transition import TransitionBatch
+
+    example = TransitionBatch(
+        state=jnp.zeros((1, 4)),
+        action=jnp.zeros((1, 1)),
+        reward=jnp.zeros((1,)),
+        next_state=jnp.zeros((1, 4)),
+        terminated=jnp.zeros((1,), bool),
+        truncated=jnp.zeros((1,), bool),
+        action_index=jnp.zeros((1,), jnp.int32),
+    )
+    with pytest.raises(ValueError, match="bf16"):
+        PackedReplayBuffer(capacity=8, bf16_storage=True).init(example)
+    # (The 64-bit-integer guard can't be exercised here: without
+    # jax_enable_x64 an int64 leaf silently becomes int32 at construction,
+    # which the f32 ring stores exactly for the small-range index fields.)
