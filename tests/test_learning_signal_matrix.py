@@ -23,6 +23,25 @@ from test_all_methods_matrix import env_for_method
 # Primary loss metric per learner family, in lookup order.
 _METRIC_PRIORITY = ("loss", "critic_loss", "value_loss")
 
+# Per-row improvement thresholds (VERDICT r2 item 8), calibrated from a
+# measured all-rows sweep (2026-08-21, 2-core CPU, seeds as in this test):
+# the worst measured late/early ratio was 0.136 (CNNDQN) / 0.125 (CQL) —
+# every other row measured <= 0.055. Thresholds are >= 2x the measured
+# ratio, so a learner with a half-connected gradient path or a mis-scaled
+# loss fails long before the old uniform late < 0.8*early would notice.
+_RATIO_DEFAULT = 0.15
+_RATIO_OVERRIDES = {
+    "CNNDQN": 0.30,  # measured 0.136: conv stack fits the frozen set slower
+    "CQL": 0.30,  # measured 0.125: the conservative penalty keeps |TD| up
+}
+# Absolute floor for the TD families' |TD| metric on the frozen-regression
+# task (max measured late value 0.158): the fitted residual must actually be
+# SMALL, not merely smaller than an arbitrarily-large start.
+_TD_LATE_FLOOR = 0.5
+# (Discount-factor correctness is pinned separately against the analytic
+# Bellman fixed point in tests/test_td_discount_calibration.py — gamma is
+# inert on this frozen-target task.)
+
 
 @pytest.mark.parametrize("name", sorted(METHODS.keys()))
 def test_method_loss_improves_on_frozen_targets(name):
@@ -88,6 +107,11 @@ def test_method_loss_improves_on_frozen_targets(name):
     assert np.isfinite(m).all(), name
     early = float(np.mean(m[:3]))
     late = float(np.mean(m[-3:]))
-    # (a) the loss is not wired to zero; (b) it falls while fitting.
+    # (a) the loss is not wired to zero; (b) it falls to a calibrated
+    # fraction of its start; (c) TD-family residuals end SMALL in absolute
+    # terms, not just relatively.
     assert early > 1e-3, (name, key, early)
-    assert late < 0.8 * early, (name, key, early, late)
+    ratio = _RATIO_OVERRIDES.get(name, _RATIO_DEFAULT)
+    assert late < ratio * early, (name, key, early, late, ratio)
+    if key == "loss":
+        assert late < _TD_LATE_FLOOR, (name, key, late)
