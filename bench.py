@@ -1,15 +1,26 @@
-"""Throughput benchmark: fully-fused DQN actor-learner on vectorized CartPole.
+"""Throughput benchmarks: fused actor-learner loops on the available
+accelerator, multi-workload.
 
-Measures aggregate env-steps/s of the compiled act -> env.step -> replay.push
--> (sample -> gradient step) loop on the available accelerator. North star:
->=1M env-steps/s (BASELINE.md; the reference's step-at-a-time Python loop
-does ~1e3-1e4 steps/s).
+Prints ONE JSON line per workload, each
+{"metric", "value", "unit", "vs_baseline"}; vs_baseline is the ratio against
+the 1M steps/s north-star target (BASELINE.md; the reference's step-at-a-time
+Python loop does ~1e3-1e4 steps/s). Workloads, in order:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is the ratio against the 1M steps/s north-star target.
+1. dqn_cartpole_env_steps_per_s       — headline fused DQN (128k envs)
+2. cnn_dqn_atari84_env_steps_per_s    — CNN-DQN at Atari-native 84x84x4
+                                        (reference conv stack) on synthetic
+                                        frames; the MXU workload
+3. csac_pendulum_env_steps_per_s      — continuous SAC (Gaussian tanh actor
+                                        + twin critic + alpha autotune)
+4. online_learning_driver_env_steps_per_s — the USER-FACING driver with
+                                        early stopping active (printed LAST:
+                                        the driver's recorded "parsed" line)
 
 Env overrides: BENCH_NUM_ENVS, BENCH_LEARNS_PER_CALL, BENCH_STEPS_PER_LEARN,
-BENCH_CALLS.
+BENCH_CALLS, BENCH_CAPACITY, BENCH_BATCH_SIZE, BENCH_QNET, BENCH_ACT_DTYPE,
+BENCH_BUFFER=packed, BENCH_DEFERRED=1, BENCH_ONLINE_CALLS,
+BENCH_SKIP_EXTRAS=1 (headline + driver only), BENCH_TIME_BUDGET (seconds;
+extras are skipped once exceeded so the driver metric always lands).
 """
 
 import json
@@ -17,12 +28,70 @@ import os
 import sys
 import time
 
+_T0 = time.perf_counter()
+
+
+def _emit(metric, steps_per_sec):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(steps_per_sec, 1),
+                "unit": "env_steps/s",
+                "vs_baseline": round(steps_per_sec / 1e6, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
+def _note(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def _measure_fused(agent, env, *, num_envs, steps_per_learn, learns_per_call,
+                   calls, deferred_push=None, label=""):
+    import jax
+
+    from pearl_tpu.training.throughput import make_compiled_runner
+
+    init_fn, run_fn = make_compiled_runner(
+        agent, env, num_envs=num_envs, steps_per_learn=steps_per_learn,
+        learns_per_call=learns_per_call, deferred_push=deferred_push,
+    )
+    key = jax.random.PRNGKey(0)
+    t = time.perf_counter()
+    astate, env_states = init_fn(key)
+    jax.block_until_ready(env_states)
+    _note(f"{label}: init {time.perf_counter()-t:.1f}s")
+    t = time.perf_counter()
+    astate, env_states, stats = run_fn(astate, env_states, jax.random.PRNGKey(1))
+    jax.block_until_ready(stats)
+    _note(f"{label}: warmup (compile) {time.perf_counter()-t:.1f}s")
+    t0 = time.perf_counter()
+    for i in range(calls):
+        astate, env_states, stats = run_fn(
+            astate, env_states, jax.random.PRNGKey(2 + i)
+        )
+    jax.block_until_ready(stats)
+    elapsed = time.perf_counter() - t0
+    total_steps = calls * learns_per_call * steps_per_learn * num_envs
+    _note(
+        f"{label}: {calls} calls, {elapsed:.2f}s, "
+        f"episodes={int(stats['episodes'])}"
+    )
+    return total_steps / elapsed
+
+
+def _budget_left(budget):
+    return (time.perf_counter() - _T0) < budget
+
 
 def main():
     import jax
 
-    # Persistent compilation cache: the fused runner takes minutes to compile
-    # through this container's remote-compile tunnel; cache it across runs.
+    # Persistent compilation cache: fused runners take minutes to compile
+    # through this container's remote-compile tunnel; cache across runs.
     try:
         jax.config.update(
             "jax_compilation_cache_dir",
@@ -40,43 +109,42 @@ def main():
     )
     from pearl_tpu.policy_learners.sequential_decision_making import DeepQLearning
     from pearl_tpu.replay_buffers.replay_buffer import BasicReplayBuffer
-    from pearl_tpu.training.throughput import make_compiled_runner
 
+    budget = float(os.environ.get("BENCH_TIME_BUDGET", 2100))
+    skip_extras = os.environ.get("BENCH_SKIP_EXTRAS") == "1"
+
+    # ---- 1. Headline: fused multi-head DQN on vectorized CartPole ----------
     # 128k envs: replay-push scaling continues well past 16384 envs/chip
-    # (216M @16k -> 370M @32k -> 446M @64k -> 489M @128k steps/s on v5e;
-    # 256k regresses to 465M — docs/ROADMAP.md). Capacity keeps the ring
-    # >= 2 learn-cycles deep so every push stays on the contiguous fast path.
+    # (216M @16k -> 489M @128k steps/s on v5e; 256k regresses — ROADMAP.md).
+    # Capacity keeps the ring >= 2 learn-cycles deep so pushes stay on the
+    # contiguous fast path.
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", 131_072))
     steps_per_learn = int(os.environ.get("BENCH_STEPS_PER_LEARN", 8))
-    # 64 learn-chunks per dispatch: at >30M steps/s a smaller program is
-    # dominated by per-call host->TPU dispatch latency, not device time.
     learns_per_call = int(os.environ.get("BENCH_LEARNS_PER_CALL", 64))
     calls = int(os.environ.get("BENCH_CALLS", 10))
     capacity = int(os.environ.get("BENCH_CAPACITY", 2_097_152))
     batch_size = int(os.environ.get("BENCH_BATCH_SIZE", 1024))
 
     # Multi-head Q (state -> |A| values, reference VanillaQValueMultiHeadNetwork)
-    # is the TPU-first DQN shape: one B-row matmul per step instead of the
-    # concat state-action net's B*A rows. 230M vs 111M steps/s at 16k envs;
-    # converges to the same CartPole target (tests/integration).
+    # is the TPU-first DQN shape: one B-row matmul per act instead of the
+    # concat state-action net's B*A rows (215.8M vs 111M at 16k envs).
     qnet = (
         MultiHeadQValueNetwork()
         if os.environ.get("BENCH_QNET", "multihead") == "multihead"
         else VanillaQValueNetwork()
     )
-    # BENCH_ACT_DTYPE=bfloat16 turns on act-path mixed precision (the act
-    # forward's activations are the dominant HBM traffic at 128k envs —
-    # docs/DESIGN.md §4); learning stays f32.
     act_dtype = os.environ.get("BENCH_ACT_DTYPE") or None
-    # BENCH_BUFFER=packed stores the whole transition in one (capacity, F)
-    # ring: ONE dynamic_update_slice per push instead of one per field —
-    # targeting the ~110us/step observe/push residual (docs/DESIGN.md §4).
+    # Measured NEGATIVES kept as opt-in flags (docs/PARITY.md): BENCH_BUFFER=
+    # packed (415.7M vs 489.7M — the pack concat costs more than the per-field
+    # writes save) and BENCH_DEFERRED=1 (408.1M — scan-stacking writes the
+    # transition twice). Basic per-step push is the measured winner.
     if os.environ.get("BENCH_BUFFER") == "packed":
         from pearl_tpu.replay_buffers.packed import PackedReplayBuffer
 
         buffer = PackedReplayBuffer(capacity=capacity)
     else:
         buffer = BasicReplayBuffer(capacity=capacity)
+    deferred = os.environ.get("BENCH_DEFERRED") == "1" or None
     agent = PearlAgent(
         policy_learner=DeepQLearning(
             q_network=qnet,
@@ -86,61 +154,71 @@ def main():
         ),
         replay_buffer=buffer,
     )
-    # BENCH_DEFERRED=1: chunk-granular replay writes — each chunk's
-    # transitions are collected in the scan's stacked outputs and written to
-    # the ring in ONE contiguous push (1/steps_per_learn the dynamic writes).
-    deferred = os.environ.get("BENCH_DEFERRED") == "1" or None
-    init_fn, run_fn = make_compiled_runner(
-        agent,
-        CartPole(),
-        num_envs=num_envs,
-        steps_per_learn=steps_per_learn,
-        learns_per_call=learns_per_call,
-        deferred_push=deferred,
+    sps = _measure_fused(
+        agent, CartPole(), num_envs=num_envs, steps_per_learn=steps_per_learn,
+        learns_per_call=learns_per_call, calls=calls, deferred_push=deferred,
+        label="dqn",
     )
-    key = jax.random.PRNGKey(0)
-    t_init = time.perf_counter()
-    astate, env_states = init_fn(key)
-    jax.block_until_ready(env_states)
-    print(f"# init done in {time.perf_counter()-t_init:.1f}s", file=sys.stderr, flush=True)
+    _emit("dqn_cartpole_env_steps_per_s", sps)
+    _note(f"device={jax.devices()[0]} num_envs={num_envs}")
 
-    # Warmup (compilation + first execution).
-    t_warm = time.perf_counter()
-    astate, env_states, stats = run_fn(astate, env_states, jax.random.PRNGKey(1))
-    jax.block_until_ready(stats)
-    print(f"# warmup (compile) done in {time.perf_counter()-t_warm:.1f}s", file=sys.stderr, flush=True)
+    # ---- 2. CNN-DQN at Atari-native 84x84x4 (MXU workload) -----------------
+    if not skip_extras and _budget_left(budget):
+        from pearl_tpu.envs import SyntheticAtari
+        from pearl_tpu.neural_networks.q_value_networks import CNNQValueNetwork
 
-    t0 = time.perf_counter()
-    for i in range(calls):
-        astate, env_states, stats = run_fn(
-            astate, env_states, jax.random.PRNGKey(2 + i)
+        cnn_envs = int(os.environ.get("BENCH_CNN_NUM_ENVS", 1024))
+        cnn_agent = PearlAgent(
+            policy_learner=DeepQLearning(
+                # Reference Atari conv stack (q_value_networks.py:714-926):
+                # conv 8x8x4->16 s4, 4x4x16->32 s2, fc->128 heads.
+                q_network=CNNQValueNetwork(input_shape=(84, 84, 4)),
+                training_rounds=1,
+                batch_size=512,
+            ),
+            # 8192 transitions x 2 x 28224 f32 ~= 1.85 GB ring.
+            replay_buffer=BasicReplayBuffer(capacity=8192),
         )
-    jax.block_until_ready(stats)
-    elapsed = time.perf_counter() - t0
+        sps_cnn = _measure_fused(
+            cnn_agent, SyntheticAtari(), num_envs=cnn_envs, steps_per_learn=8,
+            learns_per_call=8, calls=5, label="cnn84",
+        )
+        _emit("cnn_dqn_atari84_env_steps_per_s", sps_cnn)
+        # MFU estimate: ~5.3 MFLOP/frame forward (conv1 3.3M + conv2 1.3M +
+        # fc 0.7M), act 1 fwd/env-step + learn ~4 fwd-equiv x 512 per 8 x
+        # cnn_envs steps.
+        flops_per_step = 5.3e6 * (1.0 + 4.0 * 512 / (8 * cnn_envs))
+        _note(
+            f"cnn84 MFU ~= {sps_cnn * flops_per_step / 197e12 * 100:.1f}% "
+            f"of v5e 197 TF/s bf16 peak ({sps_cnn * flops_per_step / 1e12:.1f} TF/s)"
+        )
+    else:
+        _note("cnn84 skipped (budget/flag)")
 
-    total_steps = calls * learns_per_call * steps_per_learn * num_envs
-    steps_per_sec = total_steps / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "dqn_cartpole_env_steps_per_s",
-                "value": round(steps_per_sec, 1),
-                "unit": "env_steps/s",
-                "vs_baseline": round(steps_per_sec / 1e6, 3),
-            }
-        ),
-        flush=True,
-    )
-    print(
-        f"# device={jax.devices()[0]} num_envs={num_envs} "
-        f"steps_per_learn={steps_per_learn} learns_per_call={learns_per_call} "
-        f"calls={calls} elapsed={elapsed:.2f}s episodes={int(stats['episodes'])}",
-        file=sys.stderr,
-    )
+    # ---- 3. Continuous SAC on Pendulum -------------------------------------
+    if not skip_extras and _budget_left(budget):
+        from pearl_tpu.envs import Pendulum
+        from pearl_tpu.policy_learners.sequential_decision_making import (
+            ContinuousSoftActorCritic,
+        )
 
-    # Second line: the USER-FACING driver (training/online.py) end-to-end with
-    # early stopping active (stats="summary": device-side episode accounting,
-    # an unreachable target_return so the full budget runs). Same workload.
+        csac = PearlAgent(
+            policy_learner=ContinuousSoftActorCritic(
+                training_rounds=1, batch_size=1024
+            ),
+            replay_buffer=BasicReplayBuffer(capacity=262_144),
+        )
+        sps_csac = _measure_fused(
+            csac, Pendulum(), num_envs=16_384, steps_per_learn=8,
+            learns_per_call=16, calls=10, label="csac",
+        )
+        _emit("csac_pendulum_env_steps_per_s", sps_csac)
+    else:
+        _note("csac skipped (budget/flag)")
+
+    # ---- 4. USER-FACING driver (printed last -> recorded "parsed") ---------
+    # online_learning end-to-end with early stopping active (stats="summary",
+    # unreachable target so the full budget runs). Same workload as #1.
     from pearl_tpu.training.online import online_learning
 
     env = CartPole()
@@ -151,10 +229,7 @@ def main():
         learn_every_k_steps=steps_per_learn, chunks_per_dispatch=learns_per_call,
         seed=0, target_return=1e9, target_window=20, stats="summary",
     )
-    print(
-        f"# online_learning warmup done in {time.perf_counter()-t_warm:.1f}s",
-        file=sys.stderr, flush=True,
-    )
+    _note(f"online_learning warmup {time.perf_counter()-t_warm:.1f}s")
     online_calls = int(os.environ.get("BENCH_ONLINE_CALLS", 40))
     t0 = time.perf_counter()
     res = online_learning(
@@ -163,21 +238,11 @@ def main():
         seed=1, target_return=1e9, target_window=20, stats="summary",
     )
     online_sps = res.total_steps / (time.perf_counter() - t0)
-    print(
-        json.dumps(
-            {
-                "metric": "online_learning_driver_env_steps_per_s",
-                "value": round(online_sps, 1),
-                "unit": "env_steps/s",
-                "vs_baseline": round(online_sps / 1e6, 3),
-            }
-        )
+    _note(
+        f"online_learning driver: {res.total_steps} steps, "
+        f"{res.total_episodes} episodes, early-stop active"
     )
-    print(
-        f"# online_learning driver: {res.total_steps} steps, "
-        f"{res.total_episodes} episodes, early-stop active",
-        file=sys.stderr,
-    )
+    _emit("online_learning_driver_env_steps_per_s", online_sps)
 
 
 if __name__ == "__main__":

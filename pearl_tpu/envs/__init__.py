@@ -21,6 +21,7 @@ from pearl_tpu.envs.wrappers import (
     SparseRewardWrapper,
 )
 from pearl_tpu.envs.breakout import Breakout
+from pearl_tpu.envs.synthetic_visual import SyntheticAtari
 from pearl_tpu.envs.puckworld import PuckWorld
 from pearl_tpu.envs.ple import Catcher, FlappyBird, Pixelcopter, Pong
 from pearl_tpu.envs.recsys import RecommenderEnvironment
@@ -50,6 +51,7 @@ __all__ = [
     "FlattenObservations",
     "OneHotObservationsFromDiscrete",
     "Breakout",
+    "SyntheticAtari",
     "PuckWorld",
     "Catcher",
     "FlappyBird",
