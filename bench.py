@@ -162,26 +162,45 @@ def main():
     _emit("dqn_cartpole_env_steps_per_s", sps)
     _note(f"device={jax.devices()[0]} num_envs={num_envs}")
 
-    # ---- 2. CNN-DQN at Atari-native 84x84x4 (MXU workload) -----------------
+    # ---- 2. CNN-DQN at Atari-native 84x84x4 (visual pipeline) --------------
+    # Measured ladder (PARITY.md): pre-stacked env + BasicReplayBuffer 0.173M
+    # -> frame-dedup VisualReplayBuffer 0.335M -> + bf16 frames 0.360M ->
+    # + bf16 act 0.438M steps/s. The dedup ring (2 frames/row instead of 2
+    # full stacks) is the production-Atari storage layout, bit-equal to the
+    # stacked path (tests/test_visual_replay.py).
     if not skip_extras and _budget_left(budget):
+        import jax.numpy as jnp
+
         from pearl_tpu.envs import SyntheticAtari
+        from pearl_tpu.history_summarization_modules import (
+            StackingHistorySummarization,
+        )
         from pearl_tpu.neural_networks.q_value_networks import CNNQValueNetwork
+        from pearl_tpu.replay_buffers.visual import VisualReplayBuffer
 
         cnn_envs = int(os.environ.get("BENCH_CNN_NUM_ENVS", 1024))
         cnn_agent = PearlAgent(
             policy_learner=DeepQLearning(
                 # Reference Atari conv stack (q_value_networks.py:714-926):
                 # conv 8x8x4->16 s4, 4x4x16->32 s2, fc->128 heads.
-                q_network=CNNQValueNetwork(input_shape=(84, 84, 4)),
+                q_network=CNNQValueNetwork(
+                    input_shape=(84, 84, 4), time_major_stack=True
+                ),
                 training_rounds=1,
                 batch_size=512,
+                act_dtype="bfloat16",
+                history_summarizer=StackingHistorySummarization(
+                    history_length=4, include_action=False
+                ),
             ),
-            # 8192 transitions x 2 x 28224 f32 ~= 1.85 GB ring.
-            replay_buffer=BasicReplayBuffer(capacity=8192),
+            replay_buffer=VisualReplayBuffer(
+                capacity=8192, stack=4, num_envs=cnn_envs,
+                frame_dtype=jnp.bfloat16,
+            ),
         )
         sps_cnn = _measure_fused(
-            cnn_agent, SyntheticAtari(), num_envs=cnn_envs, steps_per_learn=8,
-            learns_per_call=8, calls=5, label="cnn84",
+            cnn_agent, SyntheticAtari(frames=1), num_envs=cnn_envs,
+            steps_per_learn=8, learns_per_call=8, calls=5, label="cnn84",
         )
         _emit("cnn_dqn_atari84_env_steps_per_s", sps_cnn)
         # MFU estimate: ~5.3 MFLOP/frame forward (conv1 3.3M + conv2 1.3M +
@@ -208,9 +227,11 @@ def main():
             ),
             replay_buffer=BasicReplayBuffer(capacity=262_144),
         )
+        # 50 timing calls: the round-2 protocol — at >200M steps/s a short
+        # window under-measures (dispatch latency dominates 0.1s windows).
         sps_csac = _measure_fused(
             csac, Pendulum(), num_envs=16_384, steps_per_learn=8,
-            learns_per_call=16, calls=10, label="csac",
+            learns_per_call=16, calls=50, label="csac",
         )
         _emit("csac_pendulum_env_steps_per_s", sps_csac)
     else:

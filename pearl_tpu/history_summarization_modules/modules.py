@@ -98,14 +98,29 @@ class StackingHistorySummarization(HistorySummarizationModule):
     episode starts, matching the reference's zero-initialized buffer."""
 
     history_length: int = 8
+    # include_action=False stacks OBSERVATIONS only (the Atari frame-stack
+    # shape: window = T consecutive frames, no action interleaving) — pairs
+    # with VisualReplayBuffer's frame-dedup storage and CNN nets'
+    # time_major_stack. True is the reference's (action, obs)-pair behavior.
+    include_action: bool = True
+
+    def _entry_dim(self, obs_dim, action_repr_dim):
+        return obs_dim + (action_repr_dim if self.include_action else 0)
 
     def init_carry(self, num_envs, obs_dim, action_repr_dim):
-        return jnp.zeros((num_envs, self.history_length, obs_dim + action_repr_dim))
+        return jnp.zeros(
+            (num_envs, self.history_length, self._entry_dim(obs_dim, action_repr_dim))
+        )
 
     def observe(self, carry, obs, action_repr):
-        if action_repr is None:
-            action_repr = jnp.zeros(obs.shape[:-1] + (carry.shape[-1] - obs.shape[-1],))
-        entry = jnp.concatenate([action_repr, obs], axis=-1)
+        if self.include_action:
+            if action_repr is None:
+                action_repr = jnp.zeros(
+                    obs.shape[:-1] + (carry.shape[-1] - obs.shape[-1],)
+                )
+            entry = jnp.concatenate([action_repr, obs], axis=-1)
+        else:
+            entry = obs
         return jnp.concatenate([carry[:, 1:], entry[:, None, :]], axis=1)
 
     def reset_envs(self, carry, done_mask):
@@ -118,7 +133,7 @@ class StackingHistorySummarization(HistorySummarizationModule):
         return stored
 
     def subjective_dim(self, obs_dim, action_repr_dim):
-        return self.history_length * (obs_dim + action_repr_dim)
+        return self.history_length * self._entry_dim(obs_dim, action_repr_dim)
 
 
 class _LSTMNet(nn.Module):

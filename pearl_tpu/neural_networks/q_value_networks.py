@@ -351,6 +351,11 @@ class CNNQValueNetwork:
     strides: Sequence[int] = (4, 2)
     paddings: Sequence[int] = (0, 0)
     hidden_dims: Sequence[int] = (128,)
+    # time_major_stack: the flattened state is a TIME-MAJOR frame window
+    # (T, H, W) — the layout StackingHistorySummarization(include_action=
+    # False) stores and VisualReplayBuffer reconstructs — transposed here to
+    # NHWC with C = T (the classic frame-stack-as-channels Atari input).
+    time_major_stack: bool = False
 
     def _module(self, num_actions):
         conv = ConvNet(
@@ -371,5 +376,9 @@ class CNNQValueNetwork:
     def q_all(self, params, state, actions, mask=None):
         num_actions = actions.shape[1]
         m = self._module(num_actions)
-        imgs = state.reshape((state.shape[0],) + tuple(self.input_shape))
+        H, W, C = self.input_shape
+        if self.time_major_stack:
+            imgs = state.reshape((state.shape[0], C, H, W)).transpose(0, 2, 3, 1)
+        else:
+            imgs = state.reshape((state.shape[0],) + tuple(self.input_shape))
         return m.apply({"params": params}, imgs)

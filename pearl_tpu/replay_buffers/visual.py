@@ -1,0 +1,194 @@
+"""Frame-dedup replay for visual (frame-stacked) observations.
+
+The classic production-DQN Atari optimization, TPU-native: a transition whose
+state/next_state are T-frame stacks stores T+1 frames of which T-1 are
+duplicated from the previous step. `BasicReplayBuffer` writes both full
+stacks (2*T frames/row); this buffer stores TWO frames per row — the acting
+observation `s` (the stack's newest frame) and the post-step observation `n`
+— plus a monotone push-sequence tag, and reconstructs both stacks at SAMPLE
+time from the B-strided neighbor rows (push order: one row per env per step,
+so env e's previous step lives exactly `num_envs` rows back). For T=4 this
+cuts ring storage and push traffic 4x (8 frames -> 2).
+
+Stack reconstruction matches `StackingHistorySummarization(include_action=
+False)` EXACTLY (bit-equal batches are tested): frames older than the
+current episode are zeros (the summarizer zero-pads after reset), enforced
+by a done-chain mask; the sequence tag kills frames lost to ring wrap,
+overwrite, or underfill. Sampling is gathers over (T+1) rows — O(T) HBM
+reads of single frames, no scatter.
+
+Reference anchor: pearl/replay_buffers/tensor_based_replay_buffer.py stores
+full stacked tensors per transition (no dedup exists in the reference);
+the reference's Atari preprocessing builds the same 4-frame windows
+(benchmark_config.py:1679-1747).
+
+Constraints (checked): capacity % num_envs == 0; every push must be exactly
+num_envs rows (one vectorized env step) — drivers do this by construction;
+pair with StackingHistorySummarization(include_action=False) and CNN nets'
+`time_major_stack=True`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from pearl_tpu.api.types import PRNGKey
+from pearl_tpu.replay_buffers.replay_buffer import BasicReplayBuffer, ReplayBufferState
+from pearl_tpu.replay_buffers.transition import TransitionBatch
+
+
+@struct.dataclass
+class VisualBufferState(ReplayBufferState):
+    # storage: dict with "frame_s", "frame_n" (capacity, F) frame rings,
+    # "seq" (capacity,) i32 push-sequence tag, "rest" (TransitionBatch with
+    # state/next_state=None) for the non-visual fields.
+    push_count: jnp.ndarray = None  # i32 total pushes so far
+
+
+@dataclasses.dataclass(frozen=True)
+class VisualReplayBuffer(BasicReplayBuffer):
+    stack: int = 4  # frames per stacked state (summarizer history_length)
+    num_envs: int = 1  # rows per push == env-step batch (the frame stride)
+    # Optional storage dtype for the frame rings only (e.g. jnp.bfloat16 to
+    # halve frame traffic; uint8 for 0-255-valued observations). Frames are
+    # cast back to the original dtype on sample. None = keep dtype.
+    frame_dtype: Optional[object] = None
+
+    @property
+    def supports_deferred_push(self) -> bool:
+        return False  # neighbor reconstruction needs one row per env per push
+
+    def _frame_size(self, stored_dim: int) -> int:
+        if stored_dim % self.stack != 0:
+            raise ValueError(
+                f"state dim {stored_dim} is not stack={self.stack} frames; "
+                "pair VisualReplayBuffer with StackingHistorySummarization("
+                "include_action=False, history_length=stack)"
+            )
+        return stored_dim // self.stack
+
+    def init(self, example: TransitionBatch) -> VisualBufferState:
+        if self.capacity % self.num_envs != 0:
+            raise ValueError(
+                f"capacity {self.capacity} must be a multiple of "
+                f"num_envs {self.num_envs}"
+            )
+        F = self._frame_size(example.state.shape[-1])
+        fdt = self.frame_dtype or example.state.dtype
+        rest = example.replace(state=None, next_state=None)
+        rest_storage = jax.tree.map(
+            lambda x: jnp.zeros((self.capacity,) + tuple(x.shape[1:]), x.dtype),
+            rest,
+        )
+        return VisualBufferState(
+            storage={
+                "frame_s": jnp.zeros((self.capacity, F), fdt),
+                "frame_n": jnp.zeros((self.capacity, F), fdt),
+                "seq": jnp.full((self.capacity,), -(10**9), jnp.int32),
+                "rest": rest_storage,
+            },
+            cursor=jnp.zeros((), jnp.int32),
+            size=jnp.zeros((), jnp.int32),
+            push_count=jnp.zeros((), jnp.int32),
+        )
+
+    def push(
+        self,
+        state: VisualBufferState,
+        batch: TransitionBatch,
+        key: Optional[PRNGKey] = None,
+    ) -> VisualBufferState:
+        del key
+        n = batch.reward.shape[0]
+        if n != self.num_envs:
+            raise ValueError(
+                f"VisualReplayBuffer pushes must be exactly num_envs="
+                f"{self.num_envs} rows (got {n}): one row per env per step"
+            )
+        F = self._frame_size(batch.state.shape[-1])
+        start = jnp.where(state.cursor + n <= self.capacity, state.cursor, 0)
+
+        def write(buf, v):
+            return jax.lax.dynamic_update_slice_in_dim(
+                buf, v.astype(buf.dtype), start, axis=0
+            )
+
+        storage = {
+            "frame_s": write(state.storage["frame_s"], batch.state[:, -F:]),
+            "frame_n": write(state.storage["frame_n"], batch.next_state[:, -F:]),
+            "seq": write(
+                state.storage["seq"],
+                jnp.full((n,), state.push_count, jnp.int32),
+            ),
+            "rest": jax.tree.map(
+                write,
+                state.storage["rest"],
+                batch.replace(state=None, next_state=None),
+            ),
+        }
+        return VisualBufferState(
+            storage=storage,
+            cursor=(start + n) % self.capacity,
+            size=jnp.maximum(state.size, start + n),
+            push_count=state.push_count + 1,
+        )
+
+    def sample(
+        self, state: VisualBufferState, key: PRNGKey, batch_size: int
+    ) -> TransitionBatch:
+        st = state.storage
+        B, T = self.num_envs, self.stack
+        # After the ring wraps, the rows just ahead of the cursor (the oldest
+        # resident pushes) have lost their backward neighbors to newer data —
+        # reconstruction there would zero real mid-episode frames. Exclude
+        # the oldest (stack-1) resident pushes from sampling (a (T-1)*B-row
+        # haircut on effective capacity); before any wrap the mapping below
+        # is the IDENTITY on row indices, so sampling is bit-identical to
+        # BasicReplayBuffer at the same key (tested).
+        cap_pushes = self.capacity // self.num_envs
+        pc = state.push_count
+        oldest_valid = jnp.where(pc <= cap_pushes, 0, pc - cap_pushes + (T - 1))
+        n_valid = jnp.maximum(pc - oldest_valid, 1) * B
+        q = jax.random.randint(key, (batch_size,), 0, n_valid)
+        push = oldest_valid + q // B
+        idx = (push % cap_pushes) * B + (q % B)
+        F = st["frame_s"].shape[-1]
+        rest = jax.tree.map(lambda buf: buf[idx], st["rest"])
+        dtype = jnp.promote_types(st["frame_s"].dtype, jnp.float32)
+
+        seq_i = st["seq"][idx]
+        s_i = st["frame_s"][idx].astype(dtype)
+        n_i = st["frame_n"][idx].astype(dtype)
+        done = rest.terminated | rest.truncated
+
+        # Older frames: env e's step k-back lives k*num_envs rows back. A
+        # neighbor contributes iff (a) its sequence tag is exactly k less
+        # (kills wrap/overwrite/underfill) and (b) no episode boundary in
+        # between (the summarizer zero-pads after reset) — the done chain.
+        frames = [s_i]  # state stack, newest last (reversed at the end)
+        valid = jnp.ones((batch_size,), bool)
+        for k in range(1, T):
+            jdx = (idx - k * B) % self.capacity
+            prev_done = st["rest"].terminated[jdx] | st["rest"].truncated[jdx]
+            valid = valid & (st["seq"][jdx] == seq_i - k) & ~prev_done
+            frames.append(
+                jnp.where(valid[:, None], st["frame_s"][jdx].astype(dtype), 0.0)
+            )
+        # state = [oldest ... newest=s_i]; next_state drops the oldest and
+        # appends n_i.
+        state_stack = jnp.concatenate(frames[::-1], axis=-1)
+        next_stack = jnp.concatenate(frames[-2::-1] + [n_i], axis=-1)
+        return rest.replace(state=state_stack, next_state=next_stack)
+
+    def clear(self, state: VisualBufferState) -> VisualBufferState:
+        base = super().clear(state)
+        # Invalidate sequence tags so stale neighbors never match post-clear.
+        return base.replace(
+            storage={**state.storage, "seq": jnp.full_like(state.storage["seq"], -(10**9))},
+            push_count=jnp.zeros((), jnp.int32),
+        )
