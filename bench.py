@@ -237,6 +237,58 @@ def main():
     else:
         _note("csac skipped (budget/flag)")
 
+    # ---- 3b. On-policy family: fused PPO on CartPole -----------------------
+    if not skip_extras and _budget_left(budget):
+        from pearl_tpu.policy_learners.sequential_decision_making import (
+            ProximalPolicyOptimization,
+        )
+        from pearl_tpu.replay_buffers.on_policy import OnPolicyReplayBuffer
+
+        ppo_envs = 16_384
+        rollout = 8
+        ppo = PearlAgent(
+            policy_learner=ProximalPolicyOptimization(
+                training_rounds=1, batch_size=1024
+            ),
+            replay_buffer=OnPolicyReplayBuffer(
+                capacity=rollout * ppo_envs, num_envs=ppo_envs
+            ),
+        )
+        sps_ppo = _measure_fused(
+            ppo, CartPole(), num_envs=ppo_envs, steps_per_learn=rollout,
+            learns_per_call=16, calls=50, label="ppo",
+        )
+        _emit("ppo_cartpole_env_steps_per_s", sps_ppo)
+    else:
+        _note("ppo skipped (budget/flag)")
+
+    # ---- 3c. Driver with REAL per-episode curves (stats="curves") ----------
+    if not skip_extras and _budget_left(budget):
+        from pearl_tpu.training.online import online_learning as _ol
+
+        spd_c = num_envs * steps_per_learn * learns_per_call
+        _ol(
+            agent, CartPole(), num_envs=num_envs, max_steps=spd_c * 2,
+            learn_every_k_steps=steps_per_learn,
+            chunks_per_dispatch=learns_per_call, seed=0, target_return=1e9,
+            stats="curves", curve_capacity=16_384,
+        )
+        t0 = time.perf_counter()
+        res_c = _ol(
+            agent, CartPole(), num_envs=num_envs, max_steps=spd_c * 20,
+            learn_every_k_steps=steps_per_learn,
+            chunks_per_dispatch=learns_per_call, seed=1, target_return=1e9,
+            stats="curves", curve_capacity=16_384,
+        )
+        sps_curves = res_c.total_steps / (time.perf_counter() - t0)
+        _note(
+            f"curves driver: {res_c.total_episodes} episodes, "
+            f"{len(res_c.episode_returns)} drained"
+        )
+        _emit("online_learning_curves_env_steps_per_s", sps_curves)
+    else:
+        _note("curves driver skipped (budget/flag)")
+
     # ---- 4. USER-FACING driver (printed last -> recorded "parsed") ---------
     # online_learning end-to-end with early stopping active (stats="summary",
     # unreachable target so the full budget runs). Same workload as #1.
