@@ -40,6 +40,7 @@ from pearl_tpu.replay_buffers.bootstrap import BootstrapReplayBuffer
 from pearl_tpu.replay_buffers.on_policy import OnPolicyReplayBuffer
 from pearl_tpu.replay_buffers.replay_buffer import BasicReplayBuffer
 from pearl_tpu.replay_buffers.sarsa import SARSAReplayBuffer
+from pearl_tpu.replay_buffers.visual import VisualReplayBuffer
 
 
 @dataclasses.dataclass(frozen=True)
@@ -257,6 +258,22 @@ METHODS = {
         _off_policy(lambda: _cnn_dqn()),
         learn_every_k_steps=4,
         env_family="visual",
+    ),
+    # Production visual pipeline (round 3): single-frame env + pure frame
+    # window (StackingHistorySummarization(include_action=False)) + CNN over
+    # time-major stacks + frame-dedup VisualReplayBuffer (2 frames/row, see
+    # replay_buffers/visual.py) — measured 2.5x the pre-stacked path at
+    # Atari-native scale (PARITY.md).
+    "VisualDQN": Method(
+        "VisualDQN",
+        lambda num_envs: PearlAgent(
+            policy_learner=_visual_dqn(),
+            replay_buffer=VisualReplayBuffer(
+                capacity=1024 * num_envs, stack=4, num_envs=num_envs
+            ),
+        ),
+        learn_every_k_steps=4,
+        env_family="visual_frames",
     ),
     # --- Risk-sensitive QR-DQN variants (reference
     # QRDQN_var_coeff_05/_2_method, benchmark_config.py:307-341): act/learn
@@ -557,6 +574,33 @@ def _cnn_dqn():
         training_rounds=1,
         batch_size=512,
         exploration=_EPS_SCHED,
+    )
+
+
+def _visual_dqn():
+    """Frame-history CNN DQN over single-frame observations: the pipeline
+    that pairs with VisualReplayBuffer (PARITY.md CNN ladder)."""
+    from pearl_tpu.history_summarization_modules import (
+        StackingHistorySummarization,
+    )
+    from pearl_tpu.neural_networks.q_value_networks import CNNQValueNetwork
+
+    return DeepQLearning(
+        q_network=CNNQValueNetwork(
+            input_shape=(12, 12, 4),
+            out_channels=(16, 32),
+            kernel_sizes=(3, 3),
+            strides=(1, 1),
+            paddings=(1, 1),
+            hidden_dims=(128,),
+            time_major_stack=True,
+        ),
+        training_rounds=1,
+        batch_size=128,
+        exploration=_EPS_SCHED,
+        history_summarizer=StackingHistorySummarization(
+            history_length=4, include_action=False
+        ),
     )
 
 

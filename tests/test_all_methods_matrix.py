@@ -21,6 +21,12 @@ def env_for_method(method, agent):
         from pearl_tpu.envs import Breakout
 
         return Breakout()
+    if method.env_family == "visual_frames":
+        # Single-frame visual env: the agent stacks frames itself
+        # (StackingHistorySummarization + VisualReplayBuffer pipeline).
+        from pearl_tpu.envs import SyntheticAtari
+
+        return SyntheticAtari(height=12, width=12, frames=1, episode_len=32)
     if agent.store_cost and method.continuous:
         # RC (RCPO) methods learn a cost critic — pair with the cost-emitting
         # env, as the reference pairs RC* methods with gym_avg_torque_cost.

@@ -33,6 +33,9 @@ _RATIO_DEFAULT = 0.15
 _RATIO_OVERRIDES = {
     "CNNDQN": 0.30,  # measured 0.136: conv stack fits the frozen set slower
     "CQL": 0.30,  # measured 0.125: the conservative penalty keeps |TD| up
+    # measured 0.40 at 30 learns: a hard 6-way 0/1 reward fit that
+    # equilibrates near 0.2 absolute (AdamW weight decay vs fit)
+    "VisualDQN": 0.65,
 }
 # Absolute floor for the TD families' |TD| metric on the frozen-regression
 # task (max measured late value 0.158): the fitted residual must actually be
@@ -72,19 +75,29 @@ def test_method_loss_improves_on_frozen_targets(name):
     # targets equal the stored reward and fitting them is pure regression on
     # a consistent (state, action) -> reward mapping.
     storage = astate.replay.storage
-    storage = storage.replace(terminated=jnp.ones_like(storage.terminated))
-    if float(jnp.abs(storage.reward).mean()) < 0.05:
-        # Sparse-reward envs (Breakout): the loss would start at ~0. Use a
-        # dense deterministic function of the stored state as the regression
-        # target instead.
-        n = storage.reward.shape[0]
-        dense = 1.0 + storage.state.reshape(n, -1).mean(axis=1)
-        storage = storage.replace(reward=dense)
+    if isinstance(storage, dict):
+        # VisualReplayBuffer: non-visual fields live under "rest".
+        rest = storage["rest"]
+        rest = rest.replace(terminated=jnp.ones_like(rest.terminated))
+        if float(jnp.abs(rest.reward).mean()) < 0.05:
+            n = rest.reward.shape[0]
+            dense = 1.0 + storage["frame_s"].reshape(n, -1).mean(axis=1)
+            rest = rest.replace(reward=dense)
+        storage = {**storage, "rest": rest}
+    else:
+        storage = storage.replace(terminated=jnp.ones_like(storage.terminated))
+        if float(jnp.abs(storage.reward).mean()) < 0.05:
+            # Sparse-reward envs (Breakout): the loss would start at ~0. Use
+            # a dense deterministic function of the stored state as the
+            # regression target instead.
+            n = storage.reward.shape[0]
+            dense = 1.0 + storage.state.reshape(n, -1).mean(axis=1)
+            storage = storage.replace(reward=dense)
     buf_state = astate.replay.replace(storage=storage)
 
     learner = agent.for_env(env).policy_learner
     buffer = agent.replay_buffer
-    n_learns = 30 if method.env_family == "visual" else 60
+    n_learns = 30 if method.env_family.startswith("visual") else 60
 
     # On-policy learners re-consume the same frozen trajectories each round
     # (the buffer-clear lives at the agent level, not inside learner.learn);
