@@ -352,10 +352,14 @@ class CNNQValueNetwork:
     paddings: Sequence[int] = (0, 0)
     hidden_dims: Sequence[int] = (128,)
     # time_major_stack: the flattened state is a TIME-MAJOR frame window
-    # (T, H, W) — the layout StackingHistorySummarization(include_action=
-    # False) stores and VisualReplayBuffer reconstructs — transposed here to
-    # NHWC with C = T (the classic frame-stack-as-channels Atari input).
+    # (T, H, W, frame_channels) — the layout StackingHistorySummarization(
+    # include_action=False) stores and VisualReplayBuffer reconstructs —
+    # transposed here to NHWC with C = T * frame_channels (the classic
+    # frame-stack-as-channels Atari input). frame_channels=1 is the
+    # grayscale-Atari case; >1 stacks multi-channel frames (e.g. Breakout's
+    # 4 feature channels with stack 4 -> input_shape (10, 10, 16)).
     time_major_stack: bool = False
+    frame_channels: int = 1
 
     def _module(self, num_actions):
         conv = ConvNet(
@@ -378,7 +382,13 @@ class CNNQValueNetwork:
         m = self._module(num_actions)
         H, W, C = self.input_shape
         if self.time_major_stack:
-            imgs = state.reshape((state.shape[0], C, H, W)).transpose(0, 2, 3, 1)
+            fc = self.frame_channels
+            T = C // fc
+            imgs = (
+                state.reshape((state.shape[0], T, H, W, fc))
+                .transpose(0, 2, 3, 1, 4)
+                .reshape((state.shape[0], H, W, C))
+            )
         else:
             imgs = state.reshape((state.shape[0],) + tuple(self.input_shape))
         return m.apply({"params": params}, imgs)

@@ -187,3 +187,55 @@ def test_visual_buffer_wrap_excludes_stale_history():
         p = row[-1]
         assert p in (4.0, 5.0), row  # only fully-reconstructible pushes
         np.testing.assert_array_equal(row, [p - 2, p - 1, p])
+
+
+def test_visual_pipeline_on_breakout_multichannel_frames():
+    """The frame-dedup pipeline on a REAL game env with MULTI-channel frames:
+    Breakout's (10, 10, 4) feature frames, stack 4 -> CNN input (10, 10, 16).
+    Bit-equal to BasicReplayBuffer on the same RNG stream, and the learner
+    trains finitely."""
+    from pearl_tpu.envs import Breakout
+
+    T = 4
+    def agent(buffer):
+        return PearlAgent(
+            policy_learner=DeepQLearning(
+                q_network=CNNQValueNetwork(
+                    input_shape=(10, 10, 4 * T),
+                    out_channels=(16, 32),
+                    kernel_sizes=(3, 3),
+                    strides=(2, 1),
+                    paddings=(1, 1),
+                    hidden_dims=(32,),
+                    time_major_stack=True,
+                    frame_channels=4,
+                ),
+                training_rounds=1,
+                batch_size=16,
+                history_summarizer=StackingHistorySummarization(
+                    history_length=T, include_action=False
+                ),
+            ),
+            replay_buffer=buffer,
+        )
+
+    kwargs = dict(
+        num_envs=NUM_ENVS, max_steps=NUM_ENVS * 48, learn_every_k_steps=4,
+        seed=1,
+    )
+    basic = online_learning(agent(BasicReplayBuffer(capacity=512)), Breakout(), **kwargs)
+    visual = online_learning(
+        agent(VisualReplayBuffer(capacity=512, stack=T, num_envs=NUM_ENVS)),
+        Breakout(),
+        **kwargs,
+    )
+    np.testing.assert_array_equal(basic.episode_returns, visual.episode_returns)
+    for x, y in zip(
+        jax.tree.leaves(basic.agent_state.learner.params),
+        jax.tree.leaves(visual.agent_state.learner.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # Dedup really happened: a row stores ONE 400-float frame pair, not
+    # 2 x 4-frame stacks.
+    st = visual.agent_state.replay.storage
+    assert st["frame_s"].shape == (512, 400)
