@@ -194,7 +194,7 @@ def main():
                 ),
             ),
             replay_buffer=VisualReplayBuffer(
-                capacity=8192, stack=4, num_envs=cnn_envs,
+                capacity=8 * cnn_envs, stack=4, num_envs=cnn_envs,
                 frame_dtype=jnp.bfloat16,
             ),
         )

@@ -78,6 +78,16 @@ class VisualReplayBuffer(BasicReplayBuffer):
                 f"capacity {self.capacity} must be a multiple of "
                 f"num_envs {self.num_envs}"
             )
+        if self.capacity < self.stack * self.num_envs:
+            # Post-wrap, sampling excludes the oldest (stack-1) resident
+            # pushes (their backward neighbors are gone); with fewer than
+            # `stack` pushes resident the exclusion would leave nothing and
+            # sample() would silently alias a single ring slot.
+            raise ValueError(
+                f"capacity {self.capacity} must be >= stack*num_envs = "
+                f"{self.stack * self.num_envs} (the ring must hold at least "
+                "`stack` pushes for neighbor reconstruction)"
+            )
         F = self._frame_size(example.state.shape[-1])
         fdt = self.frame_dtype or example.state.dtype
         rest = example.replace(state=None, next_state=None)

@@ -45,6 +45,7 @@ this driver); `parallel.DataParallelRunner` remains the minimal lab runner.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 import weakref
 from typing import Optional
 
@@ -154,7 +155,7 @@ def _make_chunk_fn(
             )
             out = None
         elif curves:
-            ring, count = aux[3], aux[4]
+            ring, count_mod, count_u32 = aux[3], aux[4], aux[5]
             # Scatter this step's finished episodes into the (R, 3) ring in
             # env order (matching full mode's step-major-then-env drain
             # order). Non-done envs target index R -> dropped by
@@ -165,11 +166,16 @@ def _make_chunk_fn(
             # only occur when > R envs finish simultaneously (num_envs >
             # curve_capacity), where the colliding entries are dropped
             # episodes either way.
+            # Ring index from a mod-R counter; the lifetime total is a
+            # separate uint32 that wraps cleanly (the host accumulates exact
+            # deltas modulo 2^32, so multi-hour runs past 2^31 episodes
+            # cannot corrupt drain arithmetic).
             ranks = jnp.cumsum(done.astype(jnp.int32))
-            idx = jnp.where(done, (count + ranks - 1) % R, R)
+            idx = jnp.where(done, (count_mod + ranks - 1) % R, R)
             vals = jnp.stack([ep_ret, ep_cost, risky_ratio], axis=-1)
             ring = ring.at[idx].set(vals, mode="drop")
-            count = count + ranks[-1]
+            count_mod = (count_mod + ranks[-1]) % R
+            count_u32 = count_u32 + ranks[-1].astype(jnp.uint32)
             out = None
         else:
             out = (done, ep_ret, ep_cost, risky_ratio)
@@ -181,7 +187,7 @@ def _make_chunk_fn(
         if summary:
             aux = (ep_cost, ep_risky, ep_len, last_ret, envs_fin, agg)
         elif curves:
-            aux = (ep_cost, ep_risky, ep_len, ring, count)
+            aux = (ep_cost, ep_risky, ep_len, ring, count_mod, count_u32)
         else:
             aux = (ep_cost, ep_risky, ep_len)
         return (astate, env_states, ep_ret, aux), out
@@ -207,7 +213,7 @@ def _make_chunk_fn(
             recent = jnp.sum(last_ret * envs_fin) / jnp.maximum(n_fin, 1.0)
             stats = jnp.stack([agg[0], agg[1], recent, agg[2], agg[3], n_fin])
         elif curves:
-            stats = aux[4]  # cumulative finished-episode count at chunk end
+            stats = aux[5]  # cumulative (uint32) finished count at chunk end
         else:
             dones, ep_returns, ep_costs, risky_ratios = outs
             # Pack every host-bound statistic into ONE array: the host loop
@@ -398,6 +404,15 @@ def online_learning(
                 ),
             )
     envs_per_dev = num_envs // n_dev
+    if curves and envs_per_dev > curve_capacity:
+        warnings.warn(
+            f"stats='curves' with num_envs={num_envs} (> curve_capacity="
+            f"{curve_capacity} per device): if more than curve_capacity "
+            "episodes finish in one step, the colliding entries are dropped "
+            "(counted in episodes_dropped). Raise curve_capacity to at least "
+            "the per-device env count to rule this out.",
+            stacklevel=2,
+        )
     venv = VectorEnv(env, envs_per_dev)
     key = jax.random.PRNGKey(seed)
     key, k_env, k_agent = jax.random.split(key, 3)
@@ -437,11 +452,37 @@ def online_learning(
 
             restored = agent_state
             if restored is not None:
-                lead = jax.tree.leaves(restored.learner)[0].shape[0]
-                if lead != n_dev:
+                # Decide stacked-vs-unstacked against an abstract template of
+                # this agent's UNSTACKED learner state (eval_shape allocates
+                # nothing), not by matching shape[0] == n_dev — a coincidental
+                # leading dim must not be silently sliced into garbage
+                # replicas (ADVICE r3).
+                template = jax.eval_shape(
+                    lambda k: agent.init(
+                        k,
+                        venv.observation_dim,
+                        envs_per_dev,
+                        jnp.zeros((envs_per_dev, venv.observation_dim)),
+                    ),
+                    jax.random.PRNGKey(0),
+                )
+                t_nd = [x.ndim for x in jax.tree.leaves(template.learner)]
+                r_leaves = jax.tree.leaves(restored.learner)
+                r_nd = [x.ndim for x in r_leaves]
+                if r_nd == t_nd:
                     raise ValueError(
-                        f"agent_state is stacked for {lead} devices, mesh has "
-                        f"{n_dev}; use parallel.reshard_agent_state first"
+                        "agent_state is unstacked (leaf ranks match the "
+                        "single-device template); stack it for the "
+                        f"{n_dev}-device mesh with parallel.reshard_agent_state"
+                    )
+                if r_nd != [d + 1 for d in t_nd] or (
+                    r_leaves and r_leaves[0].shape[0] != n_dev
+                ):
+                    lead = r_leaves[0].shape[0] if r_leaves else 0
+                    raise ValueError(
+                        f"agent_state leaves (lead dim {lead}) do not match a "
+                        f"{n_dev}-device stacking of this agent's learner "
+                        "state; use parallel.reshard_agent_state first"
                     )
 
                 def init_shard(env_keys, restored):
@@ -515,7 +556,8 @@ def online_learning(
         ep_aux = ep_aux + (
             # (R, 3) finished-episode ring: [return, cost, risky-ratio]
             jnp.zeros((curve_capacity, 3)),
-            jnp.zeros((), jnp.int32),  # cumulative finished count
+            jnp.zeros((), jnp.int32),  # ring write index (mod R)
+            jnp.zeros((), jnp.uint32),  # lifetime finished count (wraps)
         )
     if mesh is not None:
         ep_ret = jnp.broadcast_to(ep_ret, (n_dev,) + ep_ret.shape)
@@ -530,15 +572,21 @@ def online_learning(
     total = 0
     reached = False
     drained = [0] * n_dev  # curves mode: episodes drained so far, per device
+    raw_prev = [0] * n_dev  # last uint32 device counter seen, per device
+    cum = [0] * n_dev  # exact lifetime finished count (host Python int)
     dropped = 0
 
     def _drain_ring(counts, ring, dev):
         """Pull the episodes finished since the last drain out of one
         device's (R, 3) ring (finish order preserved; oldest beyond the ring
-        capacity are lost and tallied)."""
+        capacity are lost and tallied). The device counter is uint32 and may
+        wrap; the host reconstructs the exact total from deltas mod 2^32."""
         nonlocal dropped
         R = ring.shape[0]
-        end = int(counts[-1])
+        raw = int(counts[-1]) & 0xFFFFFFFF
+        cum[dev] += (raw - raw_prev[dev]) & 0xFFFFFFFF
+        raw_prev[dev] = raw
+        end = cum[dev]
         new = end - drained[dev]
         if new <= 0:
             return
