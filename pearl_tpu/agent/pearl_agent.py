@@ -81,6 +81,25 @@ class PearlAgent:
                     f"got {type(self.safety_module).__name__}."
                 )
 
+    @property
+    def _frame_path(self) -> bool:
+        """Visual fast path: a FrameRingHistorySummarization paired with a
+        frame-push replay buffer — observe hands single frames to the ring
+        (never materializing the stacked windows) and the CNN act path reads
+        the circular window in place (frame_ring.py module docstring)."""
+        summ = self.policy_learner.history_summarizer
+        if not getattr(summ, "is_frame_ring", False):
+            return False
+        if not getattr(self.replay_buffer, "supports_frame_push", False):
+            raise TypeError(
+                "FrameRingHistorySummarization requires a frame-push replay "
+                "buffer (VisualReplayBuffer): the generic path would "
+                "materialize the stacked window every step, which is the "
+                f"traffic the ring eliminates. Got "
+                f"{type(self.replay_buffer).__name__}."
+            )
+        return True
+
     # ------------------------------------------------------------------ setup
     def for_env(self, env) -> "PearlAgent":
         """Bind the learner to the env's action space (must be called before
@@ -190,11 +209,72 @@ class PearlAgent:
     ) -> AgentState:
         """Ingest a batched env step: update history, push the transition,
         reset per-env state where episodes ended."""
+        if self._frame_path:
+            return self._observe_frames(astate, result, next_obs, key)
         astate, transition, k_push = self.observe_deferred(
             astate, result, next_obs, key
         )
         replay_state = self.replay_buffer.push(astate.replay, transition, k_push)
         return astate.replace(replay=replay_state)
+
+    def _observe_frames(
+        self,
+        astate: AgentState,
+        result: ActionResult,
+        next_obs: jnp.ndarray,
+        key: PRNGKey,
+    ) -> AgentState:
+        """Frame-ring observe: the whole step's history+replay traffic is two
+        single frames (the acting observation read from the ring, the
+        post-step observation from the env) plus one ring slab write —
+        O(frame) instead of O(window) per step."""
+        summ = self._summ
+        learner = self.policy_learner
+        k_push, k_reset = jax.random.split(key)
+        done = result.done
+
+        frame_s = summ.newest_frame(astate.history_carry)
+        frame_n = result.observation
+        carry_next = summ.advance(
+            astate.history_carry, result.observation, next_obs, done
+        )
+        rest = TransitionBatch(
+            state=None,
+            action=astate.last_action.action,
+            reward=result.reward,
+            next_state=None,
+            terminated=result.terminated,
+            truncated=result.truncated,
+            action_index=astate.last_action.index,
+            curr_available_mask=(
+                astate.available_mask if self.track_available_masks else None
+            ),
+            next_available_mask=(
+                result.available_actions_mask
+                if self.track_available_masks
+                else None
+            ),
+            cost=(result.cost if self.store_cost else None),
+        )
+        replay_state = self.replay_buffer.push_frames(
+            astate.replay, frame_s, frame_n, rest, k_push
+        )
+
+        if astate.available_mask is not None:
+            full = jnp.ones_like(astate.available_mask)
+            next_mask = result.available_actions_mask
+            new_mask = next_mask if next_mask is not None else full
+            mask_next = jnp.where(done[:, None], full, new_mask)
+        else:
+            mask_next = None
+
+        learner_state = learner.episode_reset(astate.learner, done, k_reset)
+        return astate.replace(
+            learner=learner_state,
+            history_carry=carry_next,
+            available_mask=mask_next,
+            replay=replay_state,
+        )
 
     def observe_deferred(
         self,
@@ -209,6 +289,12 @@ class PearlAgent:
         (`ReplayBuffer.supports_deferred_push`) — same ring layout, ~1/k the
         dynamic-write ops. RNG use is identical to `observe`, so act/env
         streams (and therefore learning curves) match the per-step path."""
+        if self._frame_path:
+            raise ValueError(
+                "the frame-ring visual path pushes per step (frame "
+                "reconstruction needs one row per env per push); deferred "
+                "pushes are not supported"
+            )
         summ = self._summ
         learner = self.policy_learner
         space = learner.action_space

@@ -41,6 +41,10 @@ class SyntheticAtari(Environment):
     frames: int = 4
     num_actions: int = 6
     episode_len: int = 128
+    # Frame emission dtype ("bfloat16" halves the generator's HBM writes —
+    # the cast fuses into the sin grid; the ring/CNN path consumes bf16
+    # natively). None keeps float32.
+    obs_dtype: object = None
 
     @property
     def action_space(self) -> DiscreteActionSpace:
@@ -62,6 +66,8 @@ class SyntheticAtari(Environment):
         grid = jnp.sin(
             state.phase + 0.11 * h + 0.07 * w + 0.5 * f + 0.31 * state.t
         )
+        if self.obs_dtype is not None:
+            grid = grid.astype(self.obs_dtype)
         return grid.reshape(-1)
 
     def reset(self, key: PRNGKey) -> Tuple[SyntheticAtariState, jnp.ndarray]:

@@ -1,3 +1,7 @@
+from pearl_tpu.history_summarization_modules.frame_ring import (
+    FrameRingHistorySummarization,
+    FrameRingView,
+)
 from pearl_tpu.history_summarization_modules.modules import (
     HistorySummarizationModule,
     IdentityHistorySummarization,
@@ -12,4 +16,6 @@ __all__ = [
     "StackingHistorySummarization",
     "LSTMHistorySummarization",
     "TransformerHistorySummarization",
+    "FrameRingHistorySummarization",
+    "FrameRingView",
 ]

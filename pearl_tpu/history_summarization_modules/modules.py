@@ -142,9 +142,25 @@ class _LSTMNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # (B, T, F) -> (B, hidden)
+        # Inside shard_map, nn.RNN's default zero carry is unvarying over the
+        # mesh axes while the scanned input varies — tripping shard_map's
+        # varying-manual-axes consistency check (which we WANT enabled: it is
+        # the compile-time guard for replication bugs). Promote the initial
+        # carry to the input's varying axes explicitly.
+        vma = ()
+        try:
+            vma = tuple(jax.typeof(x).vma)
+        except Exception:
+            pass
         for i in range(self.num_layers):
-            lstm = nn.RNN(nn.LSTMCell(features=self.hidden_dim), name=f"lstm_{i}")
-            x = lstm(x)
+            cell = nn.LSTMCell(features=self.hidden_dim)
+            lstm = nn.RNN(cell, name=f"lstm_{i}")
+            if vma:
+                carry = cell.initialize_carry(jax.random.key(0), x[:, 0].shape)
+                carry = jax.lax.pcast(carry, vma, to="varying")
+                x = lstm(x, initial_carry=carry)
+            else:
+                x = lstm(x)
         return x[:, -1, :]
 
 

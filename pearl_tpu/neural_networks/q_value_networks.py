@@ -379,6 +379,8 @@ class CNNQValueNetwork:
 
     def q_all(self, params, state, actions, mask=None):
         num_actions = actions.shape[1]
+        if not isinstance(state, jnp.ndarray) and hasattr(state, "ring"):
+            return self._q_all_ring(params, state, num_actions)
         m = self._module(num_actions)
         H, W, C = self.input_shape
         if self.time_major_stack:
@@ -392,3 +394,65 @@ class CNNQValueNetwork:
         else:
             imgs = state.reshape((state.shape[0],) + tuple(self.input_shape))
         return m.apply({"params": params}, imgs)
+
+    def _q_all_ring(self, params, view, num_actions):
+        """Consume a `FrameRingView` (circular frame window) WITHOUT
+        materializing the time-ordered stack: the first conv's input channels
+        are the T frames, so rolling its kernel by the ring cursor is exactly
+        equivalent to rolling the input into time order (convolution commutes
+        with a shared input-channel permutation), and invalid frames (episode
+        zero padding) are masked as the conv reads them. The kernel roll
+        touches a few KB of weights; the input roll it replaces would move
+        the whole window per act. See
+        history_summarization_modules/frame_ring.py."""
+        if not self.time_major_stack:
+            raise ValueError(
+                "FrameRingView input requires time_major_stack=True (the ring "
+                "axis is the frame-stack axis)"
+            )
+        from pearl_tpu.neural_networks.common import resolve_activation
+
+        H, W, C = self.input_shape
+        fc = self.frame_channels
+        T = C // fc
+        ring, valid, cursor = view.ring, view.valid, view.cursor
+        B = ring.shape[0]
+        act = resolve_activation("relu")
+        x = ring * valid[..., None].astype(ring.dtype)
+        # Same /255 normalization as ConvNet, in the ring dtype (for a
+        # float32 ring this matches ConvNet.normalize bit-for-bit).
+        x = x / 255.0
+        k0 = params["conv"]["conv_0"]["kernel"].astype(ring.dtype)
+        b0 = params["conv"]["conv_0"]["bias"].astype(ring.dtype)
+        # Time order t -> ring slot (cursor + t) % T, so
+        # W_ring[s] = W_time[(s - cursor) % T]  <=>  roll(W_time, cursor).
+        k0r = jnp.roll(k0, cursor * fc, axis=2)
+        s0, p0 = self.strides[0], self.paddings[0]
+        if fc == 1:
+            inp = x.reshape(B, T, H, W)  # NCHW with C = T: no transpose
+            dn = ("NCHW", "HWIO", "NHWC")
+        else:
+            inp = (
+                x.reshape(B, T, H, W, fc)
+                .transpose(0, 2, 3, 1, 4)
+                .reshape(B, H, W, C)
+            )
+            dn = ("NHWC", "HWIO", "NHWC")
+        y = jax.lax.conv_general_dilated(
+            inp, k0r, window_strides=(s0, s0), padding=[(p0, p0), (p0, p0)],
+            dimension_numbers=dn,
+        )
+        y = act(y + b0)
+        for i in range(1, len(self.out_channels)):
+            ki = params["conv"][f"conv_{i}"]["kernel"].astype(y.dtype)
+            bi = params["conv"][f"conv_{i}"]["bias"].astype(y.dtype)
+            si, pi = self.strides[i], self.paddings[i]
+            y = jax.lax.conv_general_dilated(
+                y, ki, window_strides=(si, si), padding=[(pi, pi), (pi, pi)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = act(y + bi)
+        feat = y.reshape(B, -1)
+        return MLP(
+            hidden_dims=tuple(self.hidden_dims), output_dim=num_actions
+        ).apply({"params": params["MLP_0"]}, feat)

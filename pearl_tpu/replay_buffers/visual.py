@@ -10,6 +10,18 @@ time from the B-strided neighbor rows (push order: one row per env per step,
 so env e's previous step lives exactly `num_envs` rows back). For T=4 this
 cuts ring storage and push traffic 4x (8 frames -> 2).
 
+`dedup_next=True` goes to ONE frame per row: `n` of row i duplicates `s` of
+row i+num_envs within an episode, so the next-stack's newest frame is read
+from the successor row instead of stored (the newest resident push, whose
+successor hasn't been written yet, is excluded from sampling — symmetric to
+the oldest-(T-1) post-wrap exclusion). Semantics: exact for every
+non-episode-final row and for terminated rows (whose next_state is masked
+out of TD targets); a TRUNCATED row's final frame is genuinely not stored
+anywhere, so its reconstructed next-stack has a ZERO newest frame — the
+bootstrap target for those rows (1/episode_len of the data) reads a
+partially-zero stack. Leave dedup_next off when truncation bootstrapping
+must be exact.
+
 Stack reconstruction matches `StackingHistorySummarization(include_action=
 False)` EXACTLY (bit-equal batches are tested): frames older than the
 current episode are zeros (the summarizer zero-pads after reset), enforced
@@ -17,14 +29,19 @@ by a done-chain mask; the sequence tag kills frames lost to ring wrap,
 overwrite, or underfill. Sampling is gathers over (T+1) rows — O(T) HBM
 reads of single frames, no scatter.
 
+`push_frames` is the fast-path entry used by `PearlAgent` when paired with
+`FrameRingHistorySummarization`: the agent hands over the two single frames
+directly, so the stacked windows are never materialized on the push path.
+
 Reference anchor: pearl/replay_buffers/tensor_based_replay_buffer.py stores
 full stacked tensors per transition (no dedup exists in the reference);
 the reference's Atari preprocessing builds the same 4-frame windows
 (benchmark_config.py:1679-1747).
 
-Constraints (checked): capacity % num_envs == 0; every push must be exactly
-num_envs rows (one vectorized env step) — drivers do this by construction;
-pair with StackingHistorySummarization(include_action=False) and CNN nets'
+Constraints (checked): capacity % num_envs == 0; capacity >= stack*num_envs;
+every push must be exactly num_envs rows (one vectorized env step) — drivers
+do this by construction; pair with StackingHistorySummarization(
+include_action=False) or FrameRingHistorySummarization, and CNN nets'
 `time_major_stack=True`.
 """
 
@@ -44,9 +61,9 @@ from pearl_tpu.replay_buffers.transition import TransitionBatch
 
 @struct.dataclass
 class VisualBufferState(ReplayBufferState):
-    # storage: dict with "frame_s", "frame_n" (capacity, F) frame rings,
-    # "seq" (capacity,) i32 push-sequence tag, "rest" (TransitionBatch with
-    # state/next_state=None) for the non-visual fields.
+    # storage: dict with "frame_s" (capacity, F) frame ring ("frame_n" too
+    # unless dedup_next), "seq" (capacity,) i32 push-sequence tag, "rest"
+    # (TransitionBatch with state/next_state=None) for the non-visual fields.
     push_count: jnp.ndarray = None  # i32 total pushes so far
 
 
@@ -58,10 +75,18 @@ class VisualReplayBuffer(BasicReplayBuffer):
     # halve frame traffic; uint8 for 0-255-valued observations). Frames are
     # cast back to the original dtype on sample. None = keep dtype.
     frame_dtype: Optional[object] = None
+    # 1-frame/row mode: drop the frame_n ring and read next-stack newest
+    # frames from the successor row (see module docstring for the truncated-
+    # row caveat).
+    dedup_next: bool = False
 
     @property
     def supports_deferred_push(self) -> bool:
         return False  # neighbor reconstruction needs one row per env per push
+
+    @property
+    def supports_frame_push(self) -> bool:
+        return True  # push_frames: the FrameRing fast-path entry
 
     def _frame_size(self, stored_dim: int) -> int:
         if stored_dim % self.stack != 0:
@@ -95,32 +120,39 @@ class VisualReplayBuffer(BasicReplayBuffer):
             lambda x: jnp.zeros((self.capacity,) + tuple(x.shape[1:]), x.dtype),
             rest,
         )
+        storage = {
+            "frame_s": jnp.zeros((self.capacity, F), fdt),
+            "seq": jnp.full((self.capacity,), -(10**9), jnp.int32),
+            "rest": rest_storage,
+        }
+        if not self.dedup_next:
+            storage["frame_n"] = jnp.zeros((self.capacity, F), fdt)
         return VisualBufferState(
-            storage={
-                "frame_s": jnp.zeros((self.capacity, F), fdt),
-                "frame_n": jnp.zeros((self.capacity, F), fdt),
-                "seq": jnp.full((self.capacity,), -(10**9), jnp.int32),
-                "rest": rest_storage,
-            },
+            storage=storage,
             cursor=jnp.zeros((), jnp.int32),
             size=jnp.zeros((), jnp.int32),
             push_count=jnp.zeros((), jnp.int32),
         )
 
-    def push(
+    def push_frames(
         self,
         state: VisualBufferState,
-        batch: TransitionBatch,
+        frame_s: jnp.ndarray,
+        frame_n: Optional[jnp.ndarray],
+        rest: TransitionBatch,
         key: Optional[PRNGKey] = None,
     ) -> VisualBufferState:
+        """One vectorized env step as single frames: `frame_s` (B, F) is the
+        acting observation (the state stack's newest frame), `frame_n` the
+        post-step observation. `rest` carries every non-visual field
+        (state/next_state must be None)."""
         del key
-        n = batch.reward.shape[0]
+        n = frame_s.shape[0]
         if n != self.num_envs:
             raise ValueError(
                 f"VisualReplayBuffer pushes must be exactly num_envs="
                 f"{self.num_envs} rows (got {n}): one row per env per step"
             )
-        F = self._frame_size(batch.state.shape[-1])
         start = jnp.where(state.cursor + n <= self.capacity, state.cursor, 0)
 
         def write(buf, v):
@@ -129,8 +161,7 @@ class VisualReplayBuffer(BasicReplayBuffer):
             )
 
         storage = {
-            "frame_s": write(state.storage["frame_s"], batch.state[:, -F:]),
-            "frame_n": write(state.storage["frame_n"], batch.next_state[:, -F:]),
+            "frame_s": write(state.storage["frame_s"], frame_s),
             "seq": write(
                 state.storage["seq"],
                 jnp.full((n,), state.push_count, jnp.int32),
@@ -138,14 +169,31 @@ class VisualReplayBuffer(BasicReplayBuffer):
             "rest": jax.tree.map(
                 write,
                 state.storage["rest"],
-                batch.replace(state=None, next_state=None),
+                rest.replace(state=None, next_state=None),
             ),
         }
+        if not self.dedup_next:
+            storage["frame_n"] = write(state.storage["frame_n"], frame_n)
         return VisualBufferState(
             storage=storage,
             cursor=(start + n) % self.capacity,
             size=jnp.maximum(state.size, start + n),
             push_count=state.push_count + 1,
+        )
+
+    def push(
+        self,
+        state: VisualBufferState,
+        batch: TransitionBatch,
+        key: Optional[PRNGKey] = None,
+    ) -> VisualBufferState:
+        F = self._frame_size(batch.state.shape[-1])
+        return self.push_frames(
+            state,
+            batch.state[:, -F:],
+            None if self.dedup_next else batch.next_state[:, -F:],
+            batch,
+            key,
         )
 
     def sample(
@@ -159,22 +207,34 @@ class VisualReplayBuffer(BasicReplayBuffer):
         # the oldest (stack-1) resident pushes from sampling (a (T-1)*B-row
         # haircut on effective capacity); before any wrap the mapping below
         # is the IDENTITY on row indices, so sampling is bit-identical to
-        # BasicReplayBuffer at the same key (tested).
+        # BasicReplayBuffer at the same key (tested). With dedup_next the
+        # NEWEST resident push is excluded too (its successor rows — the
+        # source of its next-stack frames — don't exist yet).
         cap_pushes = self.capacity // self.num_envs
         pc = state.push_count
         oldest_valid = jnp.where(pc <= cap_pushes, 0, pc - cap_pushes + (T - 1))
-        n_valid = jnp.maximum(pc - oldest_valid, 1) * B
+        newest_excl = 1 if self.dedup_next else 0
+        n_valid = jnp.maximum(pc - newest_excl - oldest_valid, 1) * B
         q = jax.random.randint(key, (batch_size,), 0, n_valid)
         push = oldest_valid + q // B
         idx = (push % cap_pushes) * B + (q % B)
-        F = st["frame_s"].shape[-1]
         rest = jax.tree.map(lambda buf: buf[idx], st["rest"])
         dtype = jnp.promote_types(st["frame_s"].dtype, jnp.float32)
 
         seq_i = st["seq"][idx]
         s_i = st["frame_s"][idx].astype(dtype)
-        n_i = st["frame_n"][idx].astype(dtype)
         done = rest.terminated | rest.truncated
+        if self.dedup_next:
+            # Next-stack newest frame lives in the successor row (same env,
+            # next push, B rows ahead). Episode-final rows have no stored
+            # final frame: zero (exact for terminated — TD targets mask it).
+            jdx2 = (idx + B) % self.capacity
+            succ_ok = (st["seq"][jdx2] == seq_i + 1) & ~done
+            n_i = jnp.where(
+                succ_ok[:, None], st["frame_s"][jdx2].astype(dtype), 0.0
+            )
+        else:
+            n_i = st["frame_n"][idx].astype(dtype)
 
         # Older frames: env e's step k-back lives k*num_envs rows back. A
         # neighbor contributes iff (a) its sequence tag is exactly k less

@@ -265,17 +265,19 @@ def _mesh_wrap(run_chunk, mesh, axis):
         out = run_chunk(*carry, keys[0])
         return jax.tree.map(lambda x: x[None], out)
 
-    # check_vma=False: the LSTM summarizer's internal nn.scan initializes its
-    # hidden-state carry with (unvarying) zeros inside the shard, which trips
-    # shard_map's varying-manual-axes consistency check even though the
-    # program is correct; replica consistency is asserted by tests instead
-    # (test_online_curves_and_mesh._replica_spread == 0).
+    # check_vma=True (the default, stated explicitly): shard_map's
+    # varying-manual-axes consistency check stays armed for EVERY mesh
+    # program. Carries initialized with unvarying zeros inside the shard
+    # (the LSTM summarizer's nn.scan) are promoted at their source with
+    # jax.lax.pcast (modules.py:_LSTMNet) rather than by disabling the
+    # check here. Runtime replication of pmean-driven state is additionally
+    # assertable via online_learning(check_replication=True).
     sharded = jax.shard_map(
         per_shard,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-        check_vma=False,
+        check_vma=True,
     )
 
     @jax.jit
@@ -314,6 +316,41 @@ def _cached_program(cache_key, build):
     return fn
 
 
+def _assert_replicated_across_devices(agent_state) -> None:
+    """Debug guard for the mesh driver (`check_replication=True`): every
+    leaf of the stacked learner/safety state that is supposed to be
+    replicated (everything except the per-env `explore_state`) must be
+    bit-identical across the leading device axis. A learner that updates a
+    leaf without `pmean` diverges here on the very first learn — the
+    runtime counterpart of shard_map's compile-time vma check, which cannot
+    see replication-by-convention."""
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    learner = agent_state.learner
+    if hasattr(learner, "explore_state"):
+        learner = learner.replace(explore_state=None)
+    leaves, _ = tree_flatten_with_path(
+        {"learner": learner, "safety": agent_state.safety}
+    )
+    bad = []
+    for path, leaf in leaves:
+        arr = np.asarray(leaf)
+        if arr.ndim == 0:
+            continue
+        if not (arr == arr[:1]).all():
+            detail = ""
+            if np.issubdtype(arr.dtype, np.floating):
+                detail = f" (max spread {np.max(np.abs(arr - arr[:1])):.3e})"
+            bad.append(keystr(path) + detail)
+    if bad:
+        raise ValueError(
+            "replication check failed: the following learner/safety state "
+            "leaves differ across mesh devices after the first dispatch — "
+            "a state update is missing its pmean over the mesh axis: "
+            + "; ".join(bad)
+        )
+
+
 def _fold_summary_rows(arr: np.ndarray) -> np.ndarray:
     """(n_dev, C, 6) per-device summary rows -> (C, 6) global rows.
     Sums fold additively; the recent-return statistic folds as the
@@ -347,6 +384,7 @@ def online_learning(
     mesh=None,
     mesh_axis: str = "data",
     deferred_push: Optional[bool] = None,
+    check_replication: bool = False,
 ) -> OnlineResult:
     """Run vectorized online learning until `max_steps` total env steps or the
     moving-average episode return over the last `target_window` finished
@@ -368,7 +406,14 @@ def online_learning(
     evenly across devices; the learner is replicated with gradient `pmean`;
     every stats/early-stop feature stays live. With `mesh`, a provided
     `agent_state` must be mesh-stacked (leading device axis) — e.g. from a
-    previous mesh run or `parallel.reshard_agent_state`."""
+    previous mesh run or `parallel.reshard_agent_state`.
+
+    `check_replication=True` (mesh only, debug): after the FIRST dispatch,
+    every gradient-driven state leaf (learner + safety, excluding the
+    per-env `explore_state`) is fetched and asserted bit-identical across
+    devices — a learner that updates any leaf without `pmean` (the bug class
+    round 3 found by hand in SAC's alpha and RC's lambda) fails loudly with
+    the offending leaf path instead of silently diverging."""
     if stats not in _STATS_MODES:
         raise ValueError(f"stats must be one of {_STATS_MODES}, got {stats!r}")
     summary = stats == "summary"
@@ -662,13 +707,24 @@ def online_learning(
     # lags one dispatch — the extra dispatch's episodes are still folded into
     # the result below.
     pending = None  # (stats_device_array, total_steps_after_that_chunk)
+    replication_checked = False
     while total < max_steps and not reached:
         key, k = jax.random.split(key)
-        chunk = warm_chunk if (warm_chunk is not None and total < learning_starts) else run_chunk
+        learning_now = not (warm_chunk is not None and total < learning_starts)
+        chunk = run_chunk if learning_now else warm_chunk
         agent_state, env_states, ep_ret, ep_aux, stats_dev = chunk(
             agent_state, env_states, ep_ret, ep_aux, k
         )
         total += learn_every_k_steps * num_envs * chunks_per_dispatch
+        if (
+            check_replication
+            and mesh is not None
+            and learning_now
+            and learn
+            and not replication_checked
+        ):
+            _assert_replicated_across_devices(agent_state)
+            replication_checked = True
         if pending is not None:
             consume(*pending)
         pending = (stats_dev, total)

@@ -299,3 +299,51 @@ def test_mesh_wrong_stack_width_raises(mesh2):
             learn_every_k_steps=4, seed=0, stats="summary", mesh=mesh2,
             agent_state=solo,
         )
+
+
+# ------------------------------------------------- replication guard (r4)
+
+
+@dataclasses.dataclass(frozen=True, kw_only=True, eq=False)
+class _NoSyncDQN(DeepQLearning):
+    """Deliberately-broken DP learner: applies LOCAL gradients (no pmean) —
+    replicas diverge on the first learn from different env shards."""
+
+    def _apply_gradients(self, state, loss_fn):
+        return DeepQLearning._apply_gradients(
+            dataclasses.replace(self, pmean_axis=None), state, loss_fn
+        )
+
+
+def test_check_replication_catches_missing_pmean(mesh2):
+    broken = PearlAgent(
+        policy_learner=_NoSyncDQN(training_rounds=1, batch_size=32),
+        replay_buffer=BasicReplayBuffer(capacity=512),
+    )
+    with pytest.raises(ValueError, match="missing its pmean"):
+        online_learning(
+            broken, CartPole(), num_envs=8, max_steps=8192,
+            learn_every_k_steps=4, seed=0, stats="summary", mesh=mesh2,
+            check_replication=True,
+        )
+
+
+def test_check_replication_passes_for_synced_learner(mesh2):
+    res = online_learning(
+        _dqn_agent(), CartPole(), num_envs=8, max_steps=4096,
+        learn_every_k_steps=4, seed=0, stats="summary", mesh=mesh2,
+        check_replication=True,
+    )
+    assert res.total_steps >= 4096
+
+
+def test_mesh_vma_check_is_armed(mesh2):
+    """shard_map's varying-manual-axes check must be ON for mesh programs
+    (it was globally disabled in r3 to accommodate the LSTM carry; the
+    carry is now promoted at its source instead)."""
+    import inspect
+
+    from pearl_tpu.training import online as online_mod
+
+    src = inspect.getsource(online_mod._mesh_wrap)
+    assert "check_vma=True" in src and "check_vma=False" not in src
