@@ -65,9 +65,11 @@ def build(variant):
 
 
 def measure(variant):
-    agent, env = build(variant)
+    learn = not variant.endswith("_nolearn")
+    agent, env = build(variant.replace("_nolearn", ""))
     init_fn, run_fn = make_compiled_runner(
         agent, env, num_envs=B, steps_per_learn=8, learns_per_call=8,
+        learn=learn,
     )
     key = jax.random.PRNGKey(0)
     t = time.perf_counter()

@@ -39,6 +39,30 @@ elif algo == "csac":
         replay_buffer=BasicReplayBuffer(capacity=100_000))
     env, target, kw = Pendulum(), -250.0, dict(
         num_envs=16, max_steps=300_000, learn_every_k_steps=1, learning_starts=1_000)
+elif algo == "csac_matched":
+    # Update-to-data ratio pinned to the reference's (VERDICT r3 item 6):
+    # ref = 50 rounds per 200-step Pendulum episode = 0.25 updates/env-step
+    # (test_integration.py:631-657). Here 1 round per 4 env steps (4 envs,
+    # learn every step) = 0.25, same batch 100 / entropy 0.1 / lr 1e-3.
+    agent = PearlAgent(
+        policy_learner=ContinuousSoftActorCritic(
+            training_rounds=1, batch_size=100, entropy_coef=0.1,
+            actor_learning_rate=1e-3, critic_learning_rate=1e-3),
+        replay_buffer=BasicReplayBuffer(capacity=100_000))
+    env, target, kw = Pendulum(), -250.0, dict(
+        num_envs=4, max_steps=100_000, learn_every_k_steps=1, learning_starts=200)
+elif algo == "ppo_matched":
+    # Ref PPO: 20 rounds x batch 32 per 200-transition rollout
+    # (test_integration.py:455-471). Here 4 envs x 50-step rollouts = the
+    # same 200-transition update granularity and ratio.
+    num_envs, rollout = 4, 50
+    agent = PearlAgent(
+        policy_learner=ProximalPolicyOptimization(
+            training_rounds=20, batch_size=32, epsilon=0.1,
+            actor_learning_rate=1e-4, critic_learning_rate=1e-4),
+        replay_buffer=OnPolicyReplayBuffer(capacity=rollout * num_envs, num_envs=num_envs))
+    env, target, kw = CartPole(), 500.0, dict(
+        num_envs=num_envs, max_steps=400_000, learn_every_k_steps=rollout, learning_starts=0)
 else:
     raise SystemExit(f"unknown algo {algo}")
 

@@ -160,6 +160,12 @@ class NeuralLinearRegression:
     hidden_dims: tuple = (64, 64)
     linear_feature_dim: int = 16  # learned-feature dim fed to LinearRegression
     nn_e2e: bool = True
+    # Output activation applied to mu (reference neural_linear_regression.py
+    # `output_activation_name`, e.g. "sigmoid" for click-probability heads).
+    # forward_with_intermediate_values returns PRE-activation mu — the
+    # learner decides placement around the UCB bonus (see NeuralLinearBandit
+    # `separate_uncertainty`); apply_output_activation exposes the map.
+    output_activation: str = "linear"
 
     def mlp(self) -> MLP:
         return MLP(
@@ -191,7 +197,14 @@ class NeuralLinearRegression:
     def features(self, params, x):
         return self.mlp().apply({"params": params["mlp"]}, x)
 
+    def apply_output_activation(self, x):
+        from pearl_tpu.neural_networks.common import resolve_activation
+
+        return resolve_activation(self.output_activation)(x)
+
     def forward_with_intermediate_values(self, params, x):
+        """Returns (mu_pre_activation, sigma, learned_features) — the
+        reference's pred_label_pre_activation / sigma / nn_output triple."""
         feats = self.features(params, x)
         linreg = self.linear_regression()
         if self.nn_e2e:

@@ -68,11 +68,7 @@ class ContextualBanditBase(PolicyLearner):
         feats = self.arm_features(subjective_state)
         mu, sigma = self.mu_sigma(state, feats)
         if exploit:
-            from pearl_tpu.policy_learners.exploration_modules.common import (
-                masked_argmax,
-            )
-
-            index = masked_argmax(mu, mask)
+            index = self.greedy_index(mu, mask, key)
             explore_state = self._explore_state_of(state)
         else:
             explore_state, index = self.exploration.act_scores(

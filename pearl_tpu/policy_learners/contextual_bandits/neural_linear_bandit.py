@@ -44,6 +44,17 @@ class NeuralLinearBandit(ContextualBanditBase):
     pmean_axis: Any = None
     training_rounds: int = 10
     batch_size: int = 128
+    # Output activation on mu (e.g. "sigmoid" for click-probability heads)
+    # and UCB activation placement (reference neural_linear_bandit.py:261-314
+    # `separate_uncertainty`):
+    #   False (joint):    score = activation(mu_pre + alpha * sigma)
+    #   True (separate):  score = activation(mu_pre) + alpha * sigma
+    # The placement changes which arm UCB explores whenever the activation is
+    # nonlinear. With the default "linear" activation both modes coincide.
+    # On the act path the joint mode's outer activation is monotone, so
+    # argmax is taken pre-activation (identical arm choice, one op fewer).
+    output_activation: str = "linear"
+    separate_uncertainty: bool = False
 
     def _nlr(self, observation_dim=None, feature_dim=None) -> NeuralLinearRegression:
         f = feature_dim if feature_dim is not None else self.feature_dim(observation_dim)
@@ -52,6 +63,7 @@ class NeuralLinearBandit(ContextualBanditBase):
             hidden_dims=tuple(self.hidden_dims),
             linear_feature_dim=self.linear_feature_dim,
             nn_e2e=self.nn_e2e,
+            output_activation=self.output_activation,
         )
 
     def optimizer(self):
@@ -73,6 +85,11 @@ class NeuralLinearBandit(ContextualBanditBase):
         return self._nlr(feature_dim=int(features.shape[-1]))
 
     def mu_sigma(self, state, features):
+        """(mu, sigma) per arm. `separate_uncertainty=True` activates mu
+        HERE, so the exploration module's mu + alpha*sigma realizes the
+        reference's activation(mu) + alpha*sigma; the joint mode returns
+        pre-activation mu and activates the combined score in get_scores
+        (argmax on the act path is activation-invariant)."""
         B, A, f = features.shape
         nlr = self._nlr_for(features)
         flat = features.reshape(B * A, f)
@@ -82,7 +99,19 @@ class NeuralLinearBandit(ContextualBanditBase):
             "linreg": state.linreg,
         }
         mu, sigma, _ = nlr.forward_with_intermediate_values(params, flat)
+        if self.separate_uncertainty:
+            mu = nlr.apply_output_activation(mu)
         return mu.reshape(B, A), sigma.reshape(B, A)
+
+    def get_scores(self, state, subjective_state):
+        """UCB scores with the reference's activation placement
+        (neural_linear_bandit.py:261-314)."""
+        from pearl_tpu.neural_networks.common import resolve_activation
+
+        scores = super().get_scores(state, subjective_state)
+        if not self.separate_uncertainty:
+            scores = resolve_activation(self.output_activation)(scores)
+        return scores
 
     def learn_batch(self, state: NeuralLinearBanditState, batch):
         feats_in = self.batch_features(batch)
@@ -92,6 +121,9 @@ class NeuralLinearBandit(ContextualBanditBase):
         def loss_fn(trainable):
             learned = nlr.mlp().apply({"params": trainable["mlp"]}, feats_in)
             pred = nlr.head().apply({"params": trainable["head"]}, learned)[..., 0]
+            # Train through the activated head (reference fits
+            # output_activation(linear(features)) to rewards).
+            pred = nlr.apply_output_activation(pred)
             per = (pred - batch.reward) ** 2
             return jnp.sum(per * weight) / jnp.maximum(jnp.sum(weight), 1e-8)
 

@@ -1,5 +1,10 @@
 from pearl_tpu.policy_learners.exploration_modules.common import (
     BoltzmannExploration,
+    TiebreakingStrategy,
+    masked_argmax,
+    masked_argmax_random_ties,
+    masked_argmax_random_ties_batch,
+    model_action_index,
     EGreedyExploration,
     ExplorationModule,
     NoExploration,
@@ -21,6 +26,11 @@ from pearl_tpu.policy_learners.exploration_modules.deep_exploration import (
 
 __all__ = [
     "ExplorationModule",
+    "TiebreakingStrategy",
+    "masked_argmax",
+    "masked_argmax_random_ties",
+    "masked_argmax_random_ties_batch",
+    "model_action_index",
     "EGreedyExploration",
     "NoExploration",
     "BoltzmannExploration",

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import abc
 import dataclasses
+import enum
 from typing import Optional
 
 import jax
@@ -49,19 +50,68 @@ def masked_argmax(scores: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarr
     return jnp.argmax(scores, axis=-1).astype(jnp.int32)
 
 
+class TiebreakingStrategy(enum.Enum):
+    """Reference common/tiebreaking_strategy.py:13-16 — how greedy argmax
+    handles tied scores: first index (NO), independent per-row randomization
+    (PER_ROW), or one shared random column permutation for the whole batch
+    (BATCH — the reference's fast consistent mode: tied columns resolve to
+    the SAME index on every row)."""
+
+    NO_TIEBREAKING = 0
+    PER_ROW_TIEBREAKING = 1
+    BATCH_TIEBREAKING = 2
+
+
 def masked_argmax_random_ties(
-    scores: jnp.ndarray, mask: Optional[jnp.ndarray], key: PRNGKey
+    scores: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    key: PRNGKey,
+    epsilon: float = 0.0,
 ) -> jnp.ndarray:
     """Argmax with uniform random tie-breaking per row (reference
     TiebreakingStrategy.PER_ROW, common/tiebreaking_strategy.py +
-    action_utils.py). Essential for tabular/early-training policies where
-    many Q-values are exactly equal."""
+    action_utils.argmax_random_tie_break_per_row). Essential for
+    tabular/early-training policies where many Q-values are exactly equal.
+    `epsilon` widens the tie to scores >= max - epsilon (the reference
+    defaults to 1e-6; 0.0 keeps exact-tie semantics)."""
     if mask is not None:
         scores = jnp.where(mask, scores, -jnp.inf)
     best = jnp.max(scores, axis=-1, keepdims=True)
-    is_tie = scores == best
+    is_tie = scores >= best - epsilon
     logits = jnp.where(is_tie, 0.0, -jnp.inf)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def masked_argmax_random_ties_batch(
+    scores: jnp.ndarray, mask: Optional[jnp.ndarray], key: PRNGKey
+) -> jnp.ndarray:
+    """Argmax under ONE random column permutation shared by all rows
+    (reference action_utils.argmax_random_tie_breaks_batch): columns tied on
+    several rows resolve to the same index on each — the reference's
+    documented consistency property — at the cost of correlation across
+    rows."""
+    A = scores.shape[-1]
+    perm = jax.random.permutation(key, A)
+    permuted = jnp.take(scores, perm, axis=-1)
+    pmask = jnp.take(mask, perm, axis=-1) if mask is not None else None
+    idx = masked_argmax(permuted, pmask)
+    return perm[idx].astype(jnp.int32)
+
+
+def model_action_index(
+    scores: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    strategy: TiebreakingStrategy,
+    key: Optional[PRNGKey] = None,
+    epsilon: float = 0.0,
+) -> jnp.ndarray:
+    """Greedy action-index selection under a tie-breaking strategy
+    (reference action_utils.get_model_action_index_batch:130-160)."""
+    if strategy == TiebreakingStrategy.PER_ROW_TIEBREAKING:
+        return masked_argmax_random_ties(scores, mask, key, epsilon)
+    if strategy == TiebreakingStrategy.BATCH_TIEBREAKING:
+        return masked_argmax_random_ties_batch(scores, mask, key)
+    return masked_argmax(scores, mask)
 
 
 def _uniform_index(key, batch, num_actions, mask):

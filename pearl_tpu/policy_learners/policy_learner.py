@@ -57,6 +57,14 @@ class PolicyLearner(abc.ABC):
     # reference resolves space-dependent defaults the same way at
     # PolicyLearner.__init__, policy_learner.py:59-97).
     action_space: Any = None
+    # Greedy-argmax tie handling on the act path (reference
+    # TiebreakingStrategy, common/tiebreaking_strategy.py:13-16 +
+    # action_utils.get_model_action_index_batch): NO (first index, the
+    # deterministic default), PER_ROW (independent randomization per env),
+    # BATCH (one shared random column permutation). Strategies other than NO
+    # draw from a fold_in of the act key, so configuring them does not shift
+    # the exploration RNG stream.
+    tiebreaking: Any = None  # None == TiebreakingStrategy.NO_TIEBREAKING
 
     def bind(self, action_space) -> "PolicyLearner":
         """Return a copy of this config bound to an action space."""
@@ -91,6 +99,24 @@ class PolicyLearner(abc.ABC):
         rep_dim = rep.representation_dim(action_space.action_dim, num_actions)
         subj_dim = self.history_summarizer.subjective_dim(observation_dim, rep_dim)
         return subj_dim, rep_dim, num_actions
+
+    def greedy_index(self, scores, mask, key: Optional[PRNGKey]) -> jnp.ndarray:
+        """Greedy action index under this learner's `tiebreaking` strategy.
+        The default (None / NO_TIEBREAKING) is a deterministic masked argmax
+        and consumes no randomness."""
+        from pearl_tpu.policy_learners.exploration_modules.common import (
+            TiebreakingStrategy,
+            masked_argmax,
+            model_action_index,
+        )
+
+        if (
+            self.tiebreaking is None
+            or self.tiebreaking == TiebreakingStrategy.NO_TIEBREAKING
+        ):
+            return masked_argmax(scores, mask)
+        tie_key = jax.random.fold_in(key, 0x7EB)
+        return model_action_index(scores, mask, self.tiebreaking, tie_key)
 
     def represented_candidates(self, batch_size: int) -> jnp.ndarray:
         """All candidate actions under the action representation, broadcast to

@@ -215,7 +215,7 @@ class ActorCriticBase(PolicyLearner):
         probs = self.actor.get_policy_distribution(
             actor_params, subjective_state, candidates, mask
         ).astype(jnp.float32)
-        exploit_index = masked_argmax(probs, mask)
+        exploit_index = self.greedy_index(probs, mask, key)
         if exploit:
             index = exploit_index
             explore_state = state.explore_state

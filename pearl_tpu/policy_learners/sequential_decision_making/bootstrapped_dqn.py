@@ -78,7 +78,7 @@ class BootstrappedDQN(DeepTDLearning):
         q_ens = self.q_network.q_ensemble(
             full, subjective_state, candidates, mask
         ).astype(jnp.float32)  # (B, K, A)
-        exploit_index = masked_argmax(jnp.mean(q_ens, axis=1), mask)
+        exploit_index = self.greedy_index(jnp.mean(q_ens, axis=1), mask, key)
         if exploit:
             index = exploit_index
             explore_state = state.explore_state

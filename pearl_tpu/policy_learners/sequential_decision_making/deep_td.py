@@ -130,7 +130,7 @@ class DeepTDLearning(PolicyLearner):
         B = subjective_state.shape[0]
         candidates = self.represented_candidates(B)
         scores = self._scores(state, subjective_state, candidates, mask)
-        exploit_index = masked_argmax(scores, mask)
+        exploit_index = self.greedy_index(scores, mask, key)
         if exploit:
             index = exploit_index
             explore_state = state.explore_state

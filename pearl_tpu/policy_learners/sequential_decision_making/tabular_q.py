@@ -73,8 +73,13 @@ class TabularQLearning(PolicyLearner):
         else:
             k_tie, key = jax.random.split(key)
             # Random tie-breaking: an untrained all-zero table must not
-            # collapse onto action 0 (reference TiebreakingStrategy).
-            exploit_index = masked_argmax_random_ties(scores, mask, k_tie)
+            # collapse onto action 0 — tabular's default is PER_ROW
+            # (reference TiebreakingStrategy); an explicit `tiebreaking`
+            # config overrides it.
+            if self.tiebreaking is None:
+                exploit_index = masked_argmax_random_ties(scores, mask, k_tie)
+            else:
+                exploit_index = self.greedy_index(scores, mask, k_tie)
             explore_state, index = self.exploration.act(
                 state.explore_state, scores, exploit_index, mask, key
             )

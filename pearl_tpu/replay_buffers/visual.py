@@ -62,8 +62,12 @@ from pearl_tpu.replay_buffers.transition import TransitionBatch
 @struct.dataclass
 class VisualBufferState(ReplayBufferState):
     # storage: dict with "frame_s" (capacity, F) frame ring ("frame_n" too
-    # unless dedup_next), "seq" (capacity,) i32 push-sequence tag, "rest"
-    # (TransitionBatch with state/next_state=None) for the non-visual fields.
+    # unless dedup_next), "seq" (cap_pushes,) i32 per-push sequence tag,
+    # "rest" (TransitionBatch with state/next_state=None, (capacity, ...)
+    # rows) for the non-visual fields. Flat (capacity, F) rows with a
+    # contiguous row-block write per push: the (cap_pushes, B, F) slab
+    # variant was measured 4x slower end-to-end on chip (XLA layout
+    # assignment; round-4 ladder in docs/PARITY.md).
     push_count: jnp.ndarray = None  # i32 total pushes so far
 
 
@@ -120,9 +124,10 @@ class VisualReplayBuffer(BasicReplayBuffer):
             lambda x: jnp.zeros((self.capacity,) + tuple(x.shape[1:]), x.dtype),
             rest,
         )
+        cap_pushes = self.capacity // self.num_envs
         storage = {
             "frame_s": jnp.zeros((self.capacity, F), fdt),
-            "seq": jnp.full((self.capacity,), -(10**9), jnp.int32),
+            "seq": jnp.full((cap_pushes,), -(10**9), jnp.int32),
             "rest": rest_storage,
         }
         if not self.dedup_next:
@@ -153,27 +158,31 @@ class VisualReplayBuffer(BasicReplayBuffer):
                 f"VisualReplayBuffer pushes must be exactly num_envs="
                 f"{self.num_envs} rows (got {n}): one row per env per step"
             )
-        start = jnp.where(state.cursor + n <= self.capacity, state.cursor, 0)
+        cap_pushes = self.capacity // self.num_envs
+        slot = state.push_count % cap_pushes
+        start = slot * n
 
-        def write(buf, v):
+        def write_rows(buf, v):
             return jax.lax.dynamic_update_slice_in_dim(
                 buf, v.astype(buf.dtype), start, axis=0
             )
 
         storage = {
-            "frame_s": write(state.storage["frame_s"], frame_s),
-            "seq": write(
+            "frame_s": write_rows(state.storage["frame_s"], frame_s),
+            "seq": jax.lax.dynamic_update_slice_in_dim(
                 state.storage["seq"],
-                jnp.full((n,), state.push_count, jnp.int32),
+                jnp.full((1,), state.push_count, jnp.int32),
+                slot,
+                axis=0,
             ),
             "rest": jax.tree.map(
-                write,
+                write_rows,
                 state.storage["rest"],
                 rest.replace(state=None, next_state=None),
             ),
         }
         if not self.dedup_next:
-            storage["frame_n"] = write(state.storage["frame_n"], frame_n)
+            storage["frame_n"] = write_rows(state.storage["frame_n"], frame_n)
         return VisualBufferState(
             storage=storage,
             cursor=(start + n) % self.capacity,
@@ -217,35 +226,40 @@ class VisualReplayBuffer(BasicReplayBuffer):
         n_valid = jnp.maximum(pc - newest_excl - oldest_valid, 1) * B
         q = jax.random.randint(key, (batch_size,), 0, n_valid)
         push = oldest_valid + q // B
-        idx = (push % cap_pushes) * B + (q % B)
+        slot = push % cap_pushes  # frame-ring slab
+        env = q % B
+        idx = slot * B + env  # flat row into "rest"
         rest = jax.tree.map(lambda buf: buf[idx], st["rest"])
         dtype = jnp.promote_types(st["frame_s"].dtype, jnp.float32)
 
-        seq_i = st["seq"][idx]
+        seq_i = st["seq"][slot]
         s_i = st["frame_s"][idx].astype(dtype)
         done = rest.terminated | rest.truncated
         if self.dedup_next:
-            # Next-stack newest frame lives in the successor row (same env,
-            # next push, B rows ahead). Episode-final rows have no stored
-            # final frame: zero (exact for terminated — TD targets mask it).
-            jdx2 = (idx + B) % self.capacity
-            succ_ok = (st["seq"][jdx2] == seq_i + 1) & ~done
+            # Next-stack newest frame lives in the successor slab (same env,
+            # next push). Episode-final rows have no stored final frame:
+            # zero (exact for terminated — TD targets mask it).
+            slot2 = (slot + 1) % cap_pushes
+            succ_ok = (st["seq"][slot2] == seq_i + 1) & ~done
             n_i = jnp.where(
-                succ_ok[:, None], st["frame_s"][jdx2].astype(dtype), 0.0
+                succ_ok[:, None],
+                st["frame_s"][slot2 * B + env].astype(dtype),
+                0.0,
             )
         else:
             n_i = st["frame_n"][idx].astype(dtype)
 
-        # Older frames: env e's step k-back lives k*num_envs rows back. A
-        # neighbor contributes iff (a) its sequence tag is exactly k less
+        # Older frames: env e's step k-back lives in the slab k pushes back.
+        # A neighbor contributes iff (a) its sequence tag is exactly k less
         # (kills wrap/overwrite/underfill) and (b) no episode boundary in
         # between (the summarizer zero-pads after reset) — the done chain.
         frames = [s_i]  # state stack, newest last (reversed at the end)
         valid = jnp.ones((batch_size,), bool)
         for k in range(1, T):
-            jdx = (idx - k * B) % self.capacity
+            slot_k = (slot - k) % cap_pushes
+            jdx = slot_k * B + env
             prev_done = st["rest"].terminated[jdx] | st["rest"].truncated[jdx]
-            valid = valid & (st["seq"][jdx] == seq_i - k) & ~prev_done
+            valid = valid & (st["seq"][slot_k] == seq_i - k) & ~prev_done
             frames.append(
                 jnp.where(valid[:, None], st["frame_s"][jdx].astype(dtype), 0.0)
             )

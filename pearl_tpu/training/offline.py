@@ -97,6 +97,7 @@ def get_offline_data_in_buffer(
     tmp_path = None
     if "://" in path:
         import tempfile
+        import urllib.error
         import urllib.parse
         import urllib.request
 
@@ -105,8 +106,15 @@ def get_offline_data_in_buffer(
         url_path = urllib.parse.urlparse(path).path
         suffix = ".pt" if url_path.endswith(".pt") else ".npz"
         with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as tmp:
-            with urllib.request.urlopen(path) as resp:
-                tmp.write(resp.read())
+            try:
+                with urllib.request.urlopen(path) as resp:
+                    tmp.write(resp.read())
+            except (urllib.error.URLError, OSError) as e:
+                raise RuntimeError(
+                    f"could not fetch offline dataset {path!r}: {e}. If this "
+                    "environment has no network egress, download the file "
+                    "elsewhere and pass its local path (or a file:// URL)."
+                ) from e
             path = tmp_path = tmp.name
     try:
         if path.endswith(".pt"):

@@ -74,6 +74,12 @@ def compare(a: Any, b: Any, rtol: float = 1e-5, atol: float = 1e-7) -> str:
         name = jax.tree_util.keystr(path)
         if la.shape != lb.shape:
             diffs.append(f"{name}: shape {la.shape} vs {lb.shape}")
+        elif not jnp.issubdtype(la.dtype, jnp.inexact):
+            # Integer/bool leaves (step counters, cursors, PRNG keys) compare
+            # EXACTLY: allclose's relative tolerance would swallow small
+            # deltas on large values (e.g. +-1 on a uint32 PRNG key word).
+            if not jnp.array_equal(la, lb):
+                diffs.append(f"{name}: integer/bool leaves differ")
         elif not jnp.allclose(la, lb, rtol=rtol, atol=atol):
             diffs.append(
                 f"{name}: max abs diff {float(jnp.max(jnp.abs(la - lb))):.3e}"

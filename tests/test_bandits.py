@@ -2,6 +2,8 @@
 a synthetic linear env (ground-truth recovery), disjoint container, MAB
 sanity, and exploration-module behavior."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -317,3 +319,106 @@ def test_neural_linear_bandit_smoke():
     )
     sw = float(res.agent_state.learner.linreg.sum_weight)
     assert sw > 0
+
+
+def test_separate_uncertainty_activation_placement():
+    """Reference neural_linear_bandit.py:261-314: `separate_uncertainty`
+    moves the output activation around the UCB bonus —
+      joint (False):    score = act(mu_pre + alpha * sigma)
+      separate (True):  score = act(mu_pre) + alpha * sigma
+    — verified against hand-computed placements from the model's own
+    pre-activation forward."""
+    key = jax.random.PRNGKey(0)
+    alpha = 2.0
+
+    def build(separate):
+        lb = NeuralLinearBandit(
+            exploration=UCBExploration(alpha=alpha),
+            output_activation="sigmoid",
+            separate_uncertainty=separate,
+            hidden_dims=(16,),
+            linear_feature_dim=8,
+        )
+        from pearl_tpu.api.spaces import DiscreteActionSpace
+
+        space = DiscreteActionSpace.create(jnp.eye(3))
+        lb = lb.bind(space)
+        state = lb.init(key, 4, space, 2)
+        return lb, state
+
+    subj = jax.random.normal(jax.random.PRNGKey(1), (5, 4))
+
+    lb_j, st_j = build(False)
+    lb_s, st_s = build(True)
+    # Same init key -> identical params.
+    feats = lb_j.arm_features(subj)
+    B, A, f = feats.shape
+    nlr = lb_j._nlr(feature_dim=f)
+    params = {
+        "mlp": st_j.mlp_params, "head": st_j.head_params, "linreg": st_j.linreg
+    }
+    mu_pre, sigma, _ = nlr.forward_with_intermediate_values(
+        params, feats.reshape(B * A, f)
+    )
+    mu_pre = mu_pre.reshape(B, A)
+    sigma = jnp.nan_to_num(sigma.reshape(B, A), nan=0.0)
+
+    joint = lb_j.get_scores(st_j, subj)
+    sep = lb_s.get_scores(st_s, subj)
+    np.testing.assert_allclose(
+        np.asarray(joint), np.asarray(jax.nn.sigmoid(mu_pre + alpha * sigma)),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sep), np.asarray(jax.nn.sigmoid(mu_pre) + alpha * sigma),
+        rtol=1e-5,
+    )
+    # The placements genuinely differ (nonlinear activation, nonzero sigma)...
+    assert float(np.max(np.abs(np.asarray(joint - sep)))) > 1e-3
+    # ...and with the default linear activation the knob is inert.
+    lb_lin_j, st_lin = build(False)
+    lb_lin_j = dataclasses.replace(lb_lin_j, output_activation="linear")
+    lb_lin_s = dataclasses.replace(lb_lin_j, separate_uncertainty=True)
+    np.testing.assert_allclose(
+        np.asarray(lb_lin_j.get_scores(st_lin, subj)),
+        np.asarray(lb_lin_s.get_scores(st_lin, subj)),
+        rtol=1e-6,
+    )
+
+
+def test_neural_linear_bandit_sigmoid_head_recovers_ground_truth():
+    """output_activation="sigmoid": rewards are sigmoid(w.x); the activated
+    e2e head must fit them (predictions near the true probabilities), in
+    BOTH uncertainty placements."""
+    k = jax.random.PRNGKey(3)
+    w = jnp.array([1.5, -2.0, 0.8, 0.0])
+
+    from pearl_tpu.api.spaces import DiscreteActionSpace
+    from pearl_tpu.replay_buffers.transition import TransitionBatch
+
+    for separate in (False, True):
+        lb = NeuralLinearBandit(
+            exploration=UCBExploration(alpha=0.1),
+            output_activation="sigmoid",
+            separate_uncertainty=separate,
+            hidden_dims=(32,),
+            linear_feature_dim=8,
+            learning_rate=3e-3,
+            state_features_only=True,
+        )
+        space = DiscreteActionSpace.create(jnp.eye(2))
+        lb = lb.bind(space)
+        state = lb.init(jax.random.PRNGKey(0), 4, space, 1)
+        key = k
+        for i in range(300):
+            key, k1 = jax.random.split(key)
+            x = jax.random.normal(k1, (64, 4))
+            y = jax.nn.sigmoid(x @ w)
+            batch = TransitionBatch(
+                state=x, action=jnp.zeros((64, 1)), reward=y,
+                next_state=x, terminated=jnp.ones((64,), bool),
+                truncated=jnp.zeros((64,), bool),
+                action_index=jnp.zeros((64,), jnp.int32),
+            )
+            state, metrics = lb.learn_batch(state, batch)
+        assert float(metrics["loss"]) < 0.01, (separate, float(metrics["loss"]))

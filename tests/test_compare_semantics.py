@@ -61,6 +61,65 @@ def test_agent_state_compare_detects_single_divergent_leaf(name):
     assert not tree_allclose(state, dataclasses.replace(state, learner=perturbed))
 
 
+def _perturb_first_leaf(tree):
+    """Perturb the first numeric/bool leaf in path order (float +1.0,
+    int +1, bool flip); returns (perturbed, keystr) or None if the subtree
+    has no leaves (e.g. an Identity safety state)."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    for i, (path, leaf) in enumerate(flat):
+        arr = jnp.asarray(leaf)
+        if jnp.issubdtype(arr.dtype, jnp.floating):
+            new = arr + 1.0
+        elif jnp.issubdtype(arr.dtype, jnp.integer):
+            new = arr + 1
+        elif arr.dtype == jnp.bool_:
+            new = ~arr
+        else:
+            continue
+        leaves = [l for _, l in flat]
+        leaves[i] = new
+        return jax.tree.unflatten(treedef, leaves), jax.tree_util.keystr(path)
+    return None
+
+
+@pytest.mark.parametrize("name", sorted(METHODS.keys()))
+def test_compare_matrix_every_state_group(name):
+    """Reference test_compare.py:127-1417 exercises compare on EVERY
+    component; here every registry row's AgentState is diverged one state
+    GROUP at a time — each top-level learner-state field (params, opt
+    state, target params, exploration state, summarizer params, step
+    counters, ...) plus the agent-level safety / replay / history-carry /
+    action groups — and compare must report exactly the perturbed leaf and
+    nothing else."""
+    state = _init_state(METHODS[name])
+    groups = []
+    for f in dataclasses.fields(state.learner):
+        sub = getattr(state.learner, f.name)
+        groups.append(
+            (f".learner.{f.name}", sub,
+             lambda p, f=f: dataclasses.replace(
+                 state, learner=state.learner.replace(**{f.name: p})))
+        )
+    for f in ("safety", "replay", "history_carry", "last_action"):
+        groups.append(
+            (f".{f}", getattr(state, f),
+             lambda p, f=f: dataclasses.replace(state, **{f: p}))
+        )
+    exercised = 0
+    for label, sub, rebuild in groups:
+        out = _perturb_first_leaf(sub)
+        if out is None:
+            continue  # empty group for this row (e.g. identity safety)
+        perturbed_sub, leaf = out
+        diff = compare(state, rebuild(perturbed_sub))
+        assert diff != "", (name, label)
+        # Exactly the perturbed leaf: one diff entry, in the right group.
+        assert ";" not in diff, (name, label, diff)
+        assert label.split(".")[-1] in diff or leaf in diff, (name, label, diff)
+        exercised += 1
+    assert exercised >= 4, (name, exercised)  # params/opt/replay/history at least
+
+
 def test_replay_state_compare_detects_push():
     """Replay ring states differ after a push (reference
     test_compare.py replay-buffer cases): cursor/size/storage all named."""

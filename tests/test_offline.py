@@ -152,3 +152,15 @@ def test_url_dataset_ingestion(tmp_path):
     np.testing.assert_allclose(
         np.asarray(state.storage.reward), np.asarray(batch.reward)
     )
+
+
+def test_url_dataset_ingestion_no_egress_error():
+    """Unreachable URLs fail with an actionable error, not a raw socket
+    traceback (reference torch-loads hosted URLs; this container has no
+    egress)."""
+    import pytest
+
+    from pearl_tpu.training.offline import get_offline_data_in_buffer
+
+    with pytest.raises(RuntimeError, match="local path"):
+        get_offline_data_in_buffer("file:///nonexistent/dir/data_123.npz")
