@@ -163,22 +163,34 @@ def main():
     _note(f"device={jax.devices()[0]} num_envs={num_envs}")
 
     # ---- 2. CNN-DQN at Atari-native 84x84x4 (visual pipeline) --------------
-    # Measured ladder (PARITY.md): pre-stacked env + BasicReplayBuffer 0.173M
-    # -> frame-dedup VisualReplayBuffer 0.335M -> + bf16 frames 0.360M ->
-    # + bf16 act 0.438M steps/s. The dedup ring (2 frames/row instead of 2
-    # full stacks) is the production-Atari storage layout, bit-equal to the
-    # stacked path (tests/test_visual_replay.py).
+    # Measured ladder (PARITY.md round-4): stacking summarizer + dedup ring
+    # 0.402M -> FrameRing O(1) circular window 0.630M -> + dedup_next
+    # (1 frame/row) 0.820M steps/s. The frame-ring path (one slab write per
+    # step, cursor-rotated conv kernel, validity masks instead of frame
+    # zeroing) is bit-equal to the stacking path (tests/test_frame_ring.py).
+    # BENCH_CNN_LEGACY=1 runs the stacking baseline; BENCH_CNN_NODEDUP=1
+    # keeps the 2-frame/row ring (exact truncation bootstrapping).
     if not skip_extras and _budget_left(budget):
         import jax.numpy as jnp
 
         from pearl_tpu.envs import SyntheticAtari
         from pearl_tpu.history_summarization_modules import (
+            FrameRingHistorySummarization,
             StackingHistorySummarization,
         )
         from pearl_tpu.neural_networks.q_value_networks import CNNQValueNetwork
         from pearl_tpu.replay_buffers.visual import VisualReplayBuffer
 
         cnn_envs = int(os.environ.get("BENCH_CNN_NUM_ENVS", 1024))
+        legacy = os.environ.get("BENCH_CNN_LEGACY") == "1"
+        dedup = os.environ.get("BENCH_CNN_NODEDUP") != "1" and not legacy
+        summ = (
+            StackingHistorySummarization(history_length=4, include_action=False)
+            if legacy
+            else FrameRingHistorySummarization(
+                history_length=4, dtype=jnp.bfloat16
+            )
+        )
         cnn_agent = PearlAgent(
             policy_learner=DeepQLearning(
                 # Reference Atari conv stack (q_value_networks.py:714-926):
@@ -189,17 +201,17 @@ def main():
                 training_rounds=1,
                 batch_size=512,
                 act_dtype="bfloat16",
-                history_summarizer=StackingHistorySummarization(
-                    history_length=4, include_action=False
-                ),
+                history_summarizer=summ,
             ),
             replay_buffer=VisualReplayBuffer(
                 capacity=8 * cnn_envs, stack=4, num_envs=cnn_envs,
-                frame_dtype=jnp.bfloat16,
+                frame_dtype=jnp.bfloat16, dedup_next=dedup,
             ),
         )
         sps_cnn = _measure_fused(
-            cnn_agent, SyntheticAtari(frames=1), num_envs=cnn_envs,
+            cnn_agent,
+            SyntheticAtari(frames=1, obs_dtype=None if legacy else jnp.bfloat16),
+            num_envs=cnn_envs,
             steps_per_learn=8, learns_per_call=8, calls=5, label="cnn84",
         )
         _emit("cnn_dqn_atari84_env_steps_per_s", sps_cnn)

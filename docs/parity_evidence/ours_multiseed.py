@@ -51,6 +51,17 @@ elif algo == "csac_matched":
         replay_buffer=BasicReplayBuffer(capacity=100_000))
     env, target, kw = Pendulum(), -250.0, dict(
         num_envs=4, max_steps=100_000, learn_every_k_steps=1, learning_starts=200)
+elif algo == "ppo_matched1":
+    # EXACT reference cadence: ONE env, 200-step rollout, 20 rounds x batch
+    # 32 per update, default lrs (ppo.py:97-98) — the single-stream config
+    # the reference integration test runs (test_integration.py:455-471).
+    agent = PearlAgent(
+        policy_learner=ProximalPolicyOptimization(
+            training_rounds=20, batch_size=32, epsilon=0.1,
+            actor_learning_rate=1e-4, critic_learning_rate=1e-4),
+        replay_buffer=OnPolicyReplayBuffer(capacity=200, num_envs=1))
+    env, target, kw = CartPole(), 500.0, dict(
+        num_envs=1, max_steps=400_000, learn_every_k_steps=200, learning_starts=0)
 elif algo == "ppo_matched":
     # Ref PPO: 20 rounds x batch 32 per 200-transition rollout
     # (test_integration.py:455-471). Here 4 envs x 50-step rollouts = the

@@ -578,10 +578,12 @@ def _cnn_dqn():
 
 
 def _visual_dqn():
-    """Frame-history CNN DQN over single-frame observations: the pipeline
-    that pairs with VisualReplayBuffer (PARITY.md CNN ladder)."""
+    """Frame-history CNN DQN over single-frame observations: the production
+    visual pipeline — FrameRingHistorySummarization (O(1) circular window)
+    paired with VisualReplayBuffer (PARITY.md CNN ladder); bit-equal to the
+    StackingHistorySummarization path (tests/test_frame_ring.py)."""
     from pearl_tpu.history_summarization_modules import (
-        StackingHistorySummarization,
+        FrameRingHistorySummarization,
     )
     from pearl_tpu.neural_networks.q_value_networks import CNNQValueNetwork
 
@@ -598,9 +600,7 @@ def _visual_dqn():
         training_rounds=1,
         batch_size=128,
         exploration=_EPS_SCHED,
-        history_summarizer=StackingHistorySummarization(
-            history_length=4, include_action=False
-        ),
+        history_summarizer=FrameRingHistorySummarization(history_length=4),
     )
 
 

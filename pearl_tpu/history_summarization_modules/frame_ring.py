@@ -6,11 +6,8 @@ whole-window zeroing on reset. At Atari scale (84x84 frames, thousands of
 envs) those copies are the dominant HBM traffic of the fused actor-learner
 step (docs/PARITY.md round-4 roofline). This module replaces them with:
 
-- a circular TIME-MAJOR (T, B, F) frame ring written with ONE dynamic-slice
-  slab per step on the LEADING axis (all envs step in lockstep, so the write
-  cursor is a single scalar). Leading-axis dynamic-update-slice on a loop
-  carry is the pattern XLA:TPU updates in place — the (B, T, F) middle-axis
-  variant was measured copying the whole ring every step (profiled round 4);
+- a circular (B, T, F) frame ring written with ONE dynamic-slice slab per
+  step (all envs step in lockstep, so the write cursor is a single scalar);
 - a (B, T) validity mask instead of zeroing frames on reset — episode
   boundaries cost a tiny boolean update, never a frame write;
 - consumers that read the ring IN RING ORDER: `CNNQValueNetwork` rotates its
@@ -51,64 +48,27 @@ from pearl_tpu.history_summarization_modules.modules import (
 )
 
 
-def _row_major(x: jnp.ndarray) -> jnp.ndarray:
-    """Pin a row-major (last-dim-minor) device layout on TPU. XLA's layout
-    assignment was measured (round-4 profile) giving frame rings batch-minor
-    layouts propagated from the conv consumer, turning every slab
-    dynamic-update-slice into a strided full-ring rewrite; the explicit
-    constraint keeps writes contiguous and lets the conv pay one relayout
-    copy instead. No-op on CPU (tests)."""
-    try:
-        if jax.default_backend() != "tpu":
-            return x
-        from jax.experimental.layout import Format, Layout
-        from jax._src.pjit import with_layout_constraint
-
-        return with_layout_constraint(
-            x, Format(Layout(major_to_minor=tuple(range(x.ndim))))
-        )
-    except Exception:
-        return x
-
-
 @struct.dataclass
 class FrameRingView:
     """Circular frame window: both the per-env carry of
     `FrameRingHistorySummarization` AND the subjective-state view consumed by
     ring-aware networks.
 
-    ring:   (T, B, F) frames in RING order when `time_major` (the live
-            carry), (B, T, F) when not (replay-sampled windows, wrapped
-            time-ordered at cursor 0). Slot `(cursor - 1) % T` is newest.
-    valid:  (B, T) slot belongs to the current episode (invalid slots read
-            as zero frames, matching the stacking summarizer's zero padding).
+    ring:   (B, T, F) frames in RING order; slot `(cursor - 1) % T` is newest.
+    valid:  (B, T) slot belongs to the current episode (invalid slots read as
+            zero frames, matching the stacking summarizer's zero padding).
     cursor: scalar i32 next write slot, shared by all envs (lockstep steps).
     """
 
     ring: jnp.ndarray
     valid: jnp.ndarray
     cursor: jnp.ndarray
-    # The newest frame, carried separately so consumers (the replay push)
-    # never read it back out of the ring — fusing that read with the ring
-    # write was measured forcing a full-ring copy per step (round-4
-    # profile). None for replay-sampled wraps.
-    last: Optional[jnp.ndarray] = None
-    time_major: bool = struct.field(pytree_node=False, default=True)
-
-    @property
-    def dims(self):
-        """(B, T, F) regardless of storage orientation."""
-        if self.time_major:
-            T, B, F = self.ring.shape
-        else:
-            B, T, F = self.ring.shape
-        return B, T, F
 
     @property
     def shape(self):
         # Present as the (B, stored_dim) array the generic act paths expect
         # (`B = subjective_state.shape[0]` everywhere).
-        B, T, F = self.dims
+        B, T, F = self.ring.shape
         return (B, T * F)
 
     @property
@@ -118,17 +78,13 @@ class FrameRingView:
     def astype(self, dt):
         return self.replace(ring=self.ring.astype(dt))
 
-    def batch_time_ring(self) -> jnp.ndarray:
-        """(B, T, F) view of the ring (transposes the live carry)."""
-        return self.ring.transpose(1, 0, 2) if self.time_major else self.ring
-
     def materialize(self) -> jnp.ndarray:
         """Time-ordered, zero-masked (B, T*F) window — bit-compatible with
         `StackingHistorySummarization(include_action=False).stored`. O(T)
         frame traffic; reference/testing path, never the hot act path."""
-        B, T, F = self.dims
+        B, T, F = self.ring.shape
         order = (self.cursor + jnp.arange(T)) % T  # oldest ... newest
-        frames = jnp.take(self.batch_time_ring(), order, axis=1)
+        frames = jnp.take(self.ring, order, axis=1)
         mask = jnp.take(self.valid, order, axis=1)
         out = frames * mask[..., None].astype(frames.dtype)
         return out.reshape(B, T * F)
@@ -153,36 +109,23 @@ class FrameRingHistorySummarization(HistorySummarizationModule):
 
     def init_carry(self, num_envs, obs_dim, action_repr_dim):
         T = self.history_length
-        # Batch-major (B, T, F): the time-major (T, B, F) orientation was
-        # measured 4x SLOWER end-to-end on the chip (XLA's layout assignment
-        # for the conv consumer penalizes leading-axis slab updates harder
-        # than mid-axis ones here; round-4 measurement ladder in
-        # docs/PARITY.md).
         return FrameRingView(
             ring=jnp.zeros((num_envs, T, obs_dim), self._dt()),
             valid=jnp.zeros((num_envs, T), bool),
             cursor=jnp.zeros((), jnp.int32),
-            last=jnp.zeros((num_envs, obs_dim), self._dt()),
-            time_major=False,
-        )
-
-    def _write(self, carry: FrameRingView, entry) -> jnp.ndarray:
-        return jax.lax.dynamic_update_slice_in_dim(
-            carry.ring, entry[:, None, :].astype(carry.ring.dtype), carry.cursor, axis=1
         )
 
     def observe(self, carry: FrameRingView, obs, action_repr) -> FrameRingView:
         del action_repr  # observations-only window (include_action=False)
         c = carry.cursor
+        ring = jax.lax.dynamic_update_slice_in_dim(
+            carry.ring, obs[:, None, :].astype(carry.ring.dtype), c, axis=1
+        )
         valid = jax.lax.dynamic_update_slice_in_dim(
             carry.valid, jnp.ones((obs.shape[0], 1), bool), c, axis=1
         )
         return FrameRingView(
-            ring=self._write(carry, obs),
-            valid=valid,
-            cursor=(c + 1) % self.history_length,
-            last=obs.astype(carry.ring.dtype),
-            time_major=carry.time_major,
+            ring=ring, valid=valid, cursor=(c + 1) % self.history_length
         )
 
     def advance(
@@ -197,27 +140,22 @@ class FrameRingHistorySummarization(HistorySummarizationModule):
         the other T-1 slots."""
         c = carry.cursor
         entry = jnp.where(done[:, None], reset_obs, obs)
+        ring = jax.lax.dynamic_update_slice_in_dim(
+            carry.ring, entry[:, None, :].astype(carry.ring.dtype), c, axis=1
+        )
         valid = jnp.where(done[:, None], jnp.zeros_like(carry.valid), carry.valid)
         valid = jax.lax.dynamic_update_slice_in_dim(
             valid, jnp.ones((entry.shape[0], 1), bool), c, axis=1
         )
         return FrameRingView(
-            ring=self._write(carry, entry),
-            valid=valid,
-            cursor=(c + 1) % self.history_length,
-            last=entry.astype(carry.ring.dtype),
-            time_major=carry.time_major,
+            ring=ring, valid=valid, cursor=(c + 1) % self.history_length
         )
 
     def newest_frame(self, carry: FrameRingView) -> jnp.ndarray:
         """The most recently written frame — the observation the agent is
-        acting on. Carried in `last`, NOT sliced back out of the ring (the
-        slice fuses with the next ring write into a full-ring copy)."""
-        if carry.last is not None:
-            return carry.last
+        acting on (slot (cursor-1) % T)."""
         c = (carry.cursor - 1) % self.history_length
-        axis = 0 if carry.time_major else 1
-        return jnp.take(carry.ring, c, axis=axis)
+        return jax.lax.dynamic_slice_in_dim(carry.ring, c, 1, axis=1)[:, 0]
 
     def reset_envs(self, carry: FrameRingView, done_mask) -> FrameRingView:
         # Frames stay in place; invalidating the mask is the reset.
@@ -235,14 +173,13 @@ class FrameRingHistorySummarization(HistorySummarizationModule):
             return stored
         # Replay-sampled windows arrive as time-ordered (B, T*F) arrays with
         # zeros already in place: present them as a cursor-0 (roll = identity)
-        # all-valid view so networks handle ONE input type.
+        # all-valid ring so networks handle ONE input type.
         B = stored.shape[0]
         T = self.history_length
         return FrameRingView(
             ring=stored.reshape(B, T, -1),
             valid=jnp.ones((B, T), bool),
             cursor=jnp.zeros((), jnp.int32),
-            time_major=False,
         )
 
     def subjective_dim(self, obs_dim, action_repr_dim):

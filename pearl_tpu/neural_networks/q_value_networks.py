@@ -416,16 +416,11 @@ class CNNQValueNetwork:
         fc = self.frame_channels
         T = C // fc
         ring, valid, cursor = view.ring, view.valid, view.cursor
-        B = view.dims[0]
+        B = ring.shape[0]
         act = resolve_activation("relu")
-        # Mask invalid frames (episode zero padding) + the same /255
-        # normalization as ConvNet, in the ring dtype (for a float32 ring
-        # this matches ConvNet.normalize bit-for-bit). The mask is aligned
-        # to the ring's orientation so the multiply fuses into the conv read.
-        if view.time_major:
-            x = ring * valid.T[..., None].astype(ring.dtype)
-        else:
-            x = ring * valid[..., None].astype(ring.dtype)
+        x = ring * valid[..., None].astype(ring.dtype)
+        # Same /255 normalization as ConvNet, in the ring dtype (for a
+        # float32 ring this matches ConvNet.normalize bit-for-bit).
         x = x / 255.0
         k0 = params["conv"]["conv_0"]["kernel"].astype(ring.dtype)
         b0 = params["conv"]["conv_0"]["bias"].astype(ring.dtype)
@@ -433,16 +428,12 @@ class CNNQValueNetwork:
         # W_ring[s] = W_time[(s - cursor) % T]  <=>  roll(W_time, cursor).
         k0r = jnp.roll(k0, cursor * fc, axis=2)
         s0, p0 = self.strides[0], self.paddings[0]
-        if fc == 1 and view.time_major:
-            inp = x.reshape(T, B, H, W)  # frame axis leading: no transpose
-            dn = ("CNHW", "HWIO", "NHWC")
-        elif fc == 1:
+        if fc == 1:
             inp = x.reshape(B, T, H, W)  # NCHW with C = T: no transpose
             dn = ("NCHW", "HWIO", "NHWC")
         else:
-            xbt = x.transpose(1, 0, 2) if view.time_major else x
             inp = (
-                xbt.reshape(B, T, H, W, fc)
+                x.reshape(B, T, H, W, fc)
                 .transpose(0, 2, 3, 1, 4)
                 .reshape(B, H, W, C)
             )

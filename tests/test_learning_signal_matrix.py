@@ -33,9 +33,9 @@ _RATIO_DEFAULT = 0.15
 _RATIO_OVERRIDES = {
     "CNNDQN": 0.30,  # measured 0.136: conv stack fits the frozen set slower
     "CQL": 0.30,  # measured 0.125: the conservative penalty keeps |TD| up
-    # measured 0.40 at 30 learns: a hard 6-way 0/1 reward fit that
-    # equilibrates near 0.2 absolute (AdamW weight decay vs fit)
-    "VisualDQN": 0.65,
+    # VisualDQN: no override — at the 90-learn visual budget the measured
+    # ratio is 0.018 (r4), an 8x margin under the 0.15 default (the old
+    # 30-learn budget equilibrated at 0.40 and needed a loose 0.65 bar).
 }
 # Absolute floor for the TD families' |TD| metric on the frozen-regression
 # task (max measured late value 0.158): the fitted residual must actually be
@@ -97,7 +97,7 @@ def test_method_loss_improves_on_frozen_targets(name):
 
     learner = agent.for_env(env).policy_learner
     buffer = agent.replay_buffer
-    n_learns = 30 if method.env_family.startswith("visual") else 60
+    n_learns = 90 if method.env_family.startswith("visual") else 60
 
     # On-policy learners re-consume the same frozen trajectories each round
     # (the buffer-clear lives at the agent level, not inside learner.learn);
