@@ -63,6 +63,12 @@ class FrameRingView:
     ring: jnp.ndarray
     valid: jnp.ndarray
     cursor: jnp.ndarray
+    # Static provenance marker: True for views wrapped from replay-sampled
+    # windows (the learn path, which differentiates through q_all and so
+    # must use the autodiff-capable XLA conv), False for the live acting
+    # carry (no-grad: eligible for the Pallas ring-conv fast path,
+    # ops/ring_conv.py).
+    from_replay: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def shape(self):
@@ -180,6 +186,7 @@ class FrameRingHistorySummarization(HistorySummarizationModule):
             ring=stored.reshape(B, T, -1),
             valid=jnp.ones((B, T), bool),
             cursor=jnp.zeros((), jnp.int32),
+            from_replay=True,
         )
 
     def subjective_dim(self, obs_dim, action_repr_dim):

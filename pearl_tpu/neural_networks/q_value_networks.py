@@ -418,31 +418,60 @@ class CNNQValueNetwork:
         ring, valid, cursor = view.ring, view.valid, view.cursor
         B = ring.shape[0]
         act = resolve_activation("relu")
-        x = ring * valid[..., None].astype(ring.dtype)
-        # Same /255 normalization as ConvNet, in the ring dtype (for a
-        # float32 ring this matches ConvNet.normalize bit-for-bit).
-        x = x / 255.0
         k0 = params["conv"]["conv_0"]["kernel"].astype(ring.dtype)
         b0 = params["conv"]["conv_0"]["bias"].astype(ring.dtype)
         # Time order t -> ring slot (cursor + t) % T, so
         # W_ring[s] = W_time[(s - cursor) % T]  <=>  roll(W_time, cursor).
         k0r = jnp.roll(k0, cursor * fc, axis=2)
         s0, p0 = self.strides[0], self.paddings[0]
-        if fc == 1:
-            inp = x.reshape(B, T, H, W)  # NCHW with C = T: no transpose
-            dn = ("NCHW", "HWIO", "NHWC")
-        else:
-            inp = (
-                x.reshape(B, T, H, W, fc)
-                .transpose(0, 2, 3, 1, 4)
-                .reshape(B, H, W, C)
-            )
-            dn = ("NHWC", "HWIO", "NHWC")
-        y = jax.lax.conv_general_dilated(
-            inp, k0r, window_strides=(s0, s0), padding=[(p0, p0), (p0, p0)],
-            dimension_numbers=dn,
+        from pearl_tpu.ops.ring_conv import (
+            ring_conv_applicable,
+            ring_conv1,
+            use_ring_conv,
         )
-        y = act(y + b0)
+
+        if (
+            use_ring_conv()
+            and not getattr(view, "from_replay", True)
+            and jax.default_backend() == "tpu"
+            and ring_conv_applicable(
+                B, T, H, W, fc, self.kernel_sizes[0], s0, p0, 32
+            )
+        ):
+            # Pallas path (TPU, fc==1, no padding): keeps the XLA conv OFF
+            # the ring carry so layout assignment cannot pessimize the
+            # per-step ring writes (ops/ring_conv.py). The /255 input
+            # normalization is folded into the kernel weights (exact:
+            # conv(x/255, W) == conv(x, W/255)); masking + bias + relu fuse
+            # into the kernel.
+            k = self.kernel_sizes[0]
+            wmat = (k0r / 255.0).transpose(2, 0, 1, 3).reshape(T * k * k, -1)
+            oc = ring_conv1(
+                ring, valid, wmat, b0, H=H, W=W, k=k, s=s0, batch_block=32
+            )  # (OC, B*OH*OW) channel-major
+            OH = (H - k) // s0 + 1
+            OW = (W - k) // s0 + 1
+            y = oc.reshape(-1, B, OH, OW).transpose(1, 2, 3, 0)
+        else:
+            x = ring * valid[..., None].astype(ring.dtype)
+            # Same /255 normalization as ConvNet, in the ring dtype (for a
+            # float32 ring this matches ConvNet.normalize bit-for-bit).
+            x = x / 255.0
+            if fc == 1:
+                inp = x.reshape(B, T, H, W)  # NCHW with C = T: no transpose
+                dn = ("NCHW", "HWIO", "NHWC")
+            else:
+                inp = (
+                    x.reshape(B, T, H, W, fc)
+                    .transpose(0, 2, 3, 1, 4)
+                    .reshape(B, H, W, C)
+                )
+                dn = ("NHWC", "HWIO", "NHWC")
+            y = jax.lax.conv_general_dilated(
+                inp, k0r, window_strides=(s0, s0), padding=[(p0, p0), (p0, p0)],
+                dimension_numbers=dn,
+            )
+            y = act(y + b0)
         for i in range(1, len(self.out_channels)):
             ki = params["conv"][f"conv_{i}"]["kernel"].astype(y.dtype)
             bi = params["conv"][f"conv_{i}"]["bias"].astype(y.dtype)
