@@ -85,6 +85,13 @@ def measure(variant):
         astate, env_states, stats = run_fn(astate, env_states, jax.random.PRNGKey(2 + i))
     jax.block_until_ready(stats)
     el = time.perf_counter() - t0
+    prof_dir = os.environ.get("CNN_PROFILE_DIR")
+    if prof_dir:
+        jax.profiler.start_trace(f"{prof_dir}/{variant}")
+        astate, env_states, stats = run_fn(astate, env_states, jax.random.PRNGKey(99))
+        jax.block_until_ready(stats)
+        jax.profiler.stop_trace()
+        print(f"# {variant}: trace -> {prof_dir}/{variant}", flush=True)
     sps = CALLS * 8 * 8 * B / el
     print(
         f"{variant}: envs={B} {sps:,.0f} env-steps/s "

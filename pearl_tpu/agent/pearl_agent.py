@@ -98,6 +98,14 @@ class PearlAgent:
                 f"traffic the ring eliminates. Got "
                 f"{type(self.replay_buffer).__name__}."
             )
+        net = getattr(self.policy_learner, "q_network", None)
+        if not getattr(net, "supports_frame_ring", False):
+            raise TypeError(
+                "FrameRingHistorySummarization requires a ring-aware "
+                "q-network (CNNQValueNetwork(time_major_stack=True)): other "
+                "nets cannot consume the circular FrameRingView the ring "
+                f"hands them. Got {type(net).__name__}."
+            )
         return True
 
     # ------------------------------------------------------------------ setup
@@ -235,6 +243,14 @@ class PearlAgent:
 
         frame_s = summ.newest_frame(astate.history_carry)
         frame_n = result.observation
+        from pearl_tpu.ops.layout_fence import copy_fence, use_layout_fence
+
+        if use_layout_fence() and jax.default_backend() == "tpu":
+            # Layout-cycle breaker (bit-exact identity): without it the ring
+            # carry and the replay frame ring pin each other batch/column-
+            # minor through this push even when the convs are fenced off the
+            # carry (ops/layout_fence.py `copy_fence` docstring).
+            frame_s = copy_fence(frame_s)
         carry_next = summ.advance(
             astate.history_carry, result.observation, next_obs, done
         )

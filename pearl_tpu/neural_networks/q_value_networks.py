@@ -361,6 +361,14 @@ class CNNQValueNetwork:
     time_major_stack: bool = False
     frame_channels: int = 1
 
+    @property
+    def supports_frame_ring(self) -> bool:
+        """Ring-aware marker: this net consumes a `FrameRingView` directly
+        (`_q_all_ring`); `PearlAgent._frame_path` requires it so a
+        FrameRing summarizer paired with a non-ring-aware net fails at
+        construction, not with an opaque TypeError mid-trace."""
+        return self.time_major_stack
+
     def _module(self, num_actions):
         conv = ConvNet(
             out_channels=tuple(self.out_channels),
@@ -453,14 +461,39 @@ class CNNQValueNetwork:
             OW = (W - k) // s0 + 1
             y = oc.reshape(-1, B, OH, OW).transpose(1, 2, 3, 0)
         else:
-            x = ring * valid[..., None].astype(ring.dtype)
-            # Same /255 normalization as ConvNet, in the ring dtype (for a
-            # float32 ring this matches ConvNet.normalize bit-for-bit).
-            x = x / 255.0
+            from pearl_tpu.ops.layout_fence import (
+                masked_scale_fence,
+                masked_scale_fence4,
+                use_layout_fence,
+            )
+
+            # Pallas layout fence (opt-in): same `ring * valid / 255` math,
+            # but produced behind a fixed-row-major Pallas call so the XLA
+            # conv's batch-minor input layout cannot propagate into the
+            # frame-ring carry (act) or the replay frame ring (learn). Pairs
+            # with the push-path copy_fence — severing only the conv chain
+            # leaves the carry<->replay-ring layout CYCLE intact (measured,
+            # ops/layout_fence.py + docs/PARITY.md round-5 ladder).
+            fence = use_layout_fence() and jax.default_backend() == "tpu"
             if fc == 1:
-                inp = x.reshape(B, T, H, W)  # NCHW with C = T: no transpose
+                if fence:
+                    # 4-D fence: emits the NCHW conv input directly (an XLA
+                    # reshape here materialized as a 0.22 ms/step copy).
+                    inp = masked_scale_fence4(ring, valid, H=H, W=W, div=255.0)
+                else:
+                    x = ring * valid[..., None].astype(ring.dtype)
+                    # Same /255 normalization as ConvNet, in the ring dtype
+                    # (for a float32 ring this matches ConvNet.normalize
+                    # bit-for-bit).
+                    x = x / 255.0
+                    inp = x.reshape(B, T, H, W)  # NCHW, C = T: no transpose
                 dn = ("NCHW", "HWIO", "NHWC")
             else:
+                if fence:
+                    x = masked_scale_fence(ring, valid, div=255.0)
+                else:
+                    x = ring * valid[..., None].astype(ring.dtype)
+                    x = x / 255.0
                 inp = (
                     x.reshape(B, T, H, W, fc)
                     .transpose(0, 2, 3, 1, 4)

@@ -103,10 +103,13 @@ def model_action_index(
     mask: Optional[jnp.ndarray],
     strategy: TiebreakingStrategy,
     key: Optional[PRNGKey] = None,
-    epsilon: float = 0.0,
+    epsilon: float = 1e-6,
 ) -> jnp.ndarray:
     """Greedy action-index selection under a tie-breaking strategy
-    (reference action_utils.get_model_action_index_batch:130-160)."""
+    (reference action_utils.get_model_action_index_batch:130-160). When
+    PER_ROW is configured, `epsilon` defaults to the reference
+    argmax_random_tie_break_per_row's 1e-6 so near-tied float Q-values are
+    randomized like the reference; pass 0.0 for exact-tie-only semantics."""
     if strategy == TiebreakingStrategy.PER_ROW_TIEBREAKING:
         return masked_argmax_random_ties(scores, mask, key, epsilon)
     if strategy == TiebreakingStrategy.BATCH_TIEBREAKING:

@@ -14,13 +14,19 @@ cuts ring storage and push traffic 4x (8 frames -> 2).
 row i+num_envs within an episode, so the next-stack's newest frame is read
 from the successor row instead of stored (the newest resident push, whose
 successor hasn't been written yet, is excluded from sampling — symmetric to
-the oldest-(T-1) post-wrap exclusion). Semantics: exact for every
-non-episode-final row and for terminated rows (whose next_state is masked
-out of TD targets); a TRUNCATED row's final frame is genuinely not stored
-anywhere, so its reconstructed next-stack has a ZERO newest frame — the
-bootstrap target for those rows (1/episode_len of the data) reads a
-partially-zero stack. Leave dedup_next off when truncation bootstrapping
-must be exact.
+the oldest-(T-1) post-wrap exclusion). Episode-final rows have no successor
+within the episode; their final frames are covered by a TRUNCATION SIDE
+RING `frame_t`: pushes containing a truncated row write the (masked)
+post-step frames into the side slab under a `lax.cond`, so the write fires
+only on those pushes (~1/episode_len when truncations are time-limit
+lockstep, as in the Atari protocol) and stale side data is never read (a
+row's side slab is consulted only when that row itself is truncated, and a
+truncated resident row always wrote its slab). This makes dedup_next exact
+for every row the TD target can see: non-final rows and truncated rows
+reconstruct bit-exactly; TERMINATED rows read a zero newest next-frame,
+which is invisible — the Bellman target multiplies next values by
+(1 - terminated) (reference deep_td_learning.py:313-318), matching
+deep_td.py here.
 
 Stack reconstruction matches `StackingHistorySummarization(include_action=
 False)` EXACTLY (bit-equal batches are tested): frames older than the
@@ -80,9 +86,17 @@ class VisualReplayBuffer(BasicReplayBuffer):
     # cast back to the original dtype on sample. None = keep dtype.
     frame_dtype: Optional[object] = None
     # 1-frame/row mode: drop the frame_n ring and read next-stack newest
-    # frames from the successor row (see module docstring for the truncated-
-    # row caveat).
+    # frames from the successor row; truncated rows' final frames come from
+    # the cond-written `frame_t` side ring (see module docstring).
     dedup_next: bool = False
+
+    @property
+    def min_pushes_before_sample(self) -> int:
+        """Resident pushes required before sample() is meaningful: the
+        newest resident push is excluded under dedup_next (its successor
+        rows don't exist yet), so at least one more must be present.
+        Drivers validate learning_starts against this (x num_envs)."""
+        return 2 if self.dedup_next else 1
 
     @property
     def supports_deferred_push(self) -> bool:
@@ -132,6 +146,10 @@ class VisualReplayBuffer(BasicReplayBuffer):
         }
         if not self.dedup_next:
             storage["frame_n"] = jnp.zeros((self.capacity, F), fdt)
+        else:
+            # Truncation side ring: episode-final frames of truncated rows,
+            # written only on pushes that contain a truncation (lax.cond).
+            storage["frame_t"] = jnp.zeros((self.capacity, F), fdt)
         return VisualBufferState(
             storage=storage,
             cursor=jnp.zeros((), jnp.int32),
@@ -183,6 +201,33 @@ class VisualReplayBuffer(BasicReplayBuffer):
         }
         if not self.dedup_next:
             storage["frame_n"] = write_rows(state.storage["frame_n"], frame_n)
+        else:
+            if frame_n is None:
+                raise ValueError(
+                    "dedup_next requires the post-step frame at push time "
+                    "(truncated rows' final frames go to the side ring)"
+                )
+            trunc = rest.truncated
+
+            def _write_side(buf):
+                slab = jnp.where(
+                    trunc[:, None], frame_n.astype(buf.dtype), 0
+                )
+                return jax.lax.dynamic_update_slice_in_dim(
+                    buf, slab, start, axis=0
+                )
+
+            # cond, not where: the slab write is skipped ENTIRELY on pushes
+            # with no truncation (time-limit lockstep envs truncate on
+            # 1/episode_len of pushes). Stale slab data is never read —
+            # sample() consults frame_t[i] only when row i itself is
+            # truncated, and a truncated resident row always wrote its slab.
+            storage["frame_t"] = jax.lax.cond(
+                jnp.any(trunc),
+                _write_side,
+                lambda buf: buf,
+                state.storage["frame_t"],
+            )
         return VisualBufferState(
             storage=storage,
             cursor=(start + n) % self.capacity,
@@ -200,7 +245,7 @@ class VisualReplayBuffer(BasicReplayBuffer):
         return self.push_frames(
             state,
             batch.state[:, -F:],
-            None if self.dedup_next else batch.next_state[:, -F:],
+            batch.next_state[:, -F:],
             batch,
             key,
         )
@@ -236,15 +281,20 @@ class VisualReplayBuffer(BasicReplayBuffer):
         s_i = st["frame_s"][idx].astype(dtype)
         done = rest.terminated | rest.truncated
         if self.dedup_next:
-            # Next-stack newest frame lives in the successor slab (same env,
-            # next push). Episode-final rows have no stored final frame:
-            # zero (exact for terminated — TD targets mask it).
+            # Next-stack newest frame: successor slab (same env, next push)
+            # for mid-episode rows; the truncation side ring for truncated
+            # rows (exact bootstrap); zero for terminated rows (invisible —
+            # TD targets multiply next values by (1 - terminated)).
             slot2 = (slot + 1) % cap_pushes
             succ_ok = (st["seq"][slot2] == seq_i + 1) & ~done
             n_i = jnp.where(
                 succ_ok[:, None],
                 st["frame_s"][slot2 * B + env].astype(dtype),
-                0.0,
+                jnp.where(
+                    rest.truncated[:, None],
+                    st["frame_t"][idx].astype(dtype),
+                    0.0,
+                ),
             )
         else:
             n_i = st["frame_n"][idx].astype(dtype)

@@ -451,12 +451,26 @@ def online_learning(
     envs_per_dev = num_envs // n_dev
     if curves and envs_per_dev > curve_capacity:
         warnings.warn(
-            f"stats='curves' with num_envs={num_envs} (> curve_capacity="
-            f"{curve_capacity} per device): if more than curve_capacity "
-            "episodes finish in one step, the colliding entries are dropped "
-            "(counted in episodes_dropped). Raise curve_capacity to at least "
-            "the per-device env count to rule this out.",
+            f"stats='curves' with envs_per_dev={envs_per_dev} > "
+            f"curve_capacity={curve_capacity} (num_envs={num_envs} over "
+            f"{n_dev} device(s)): if more than curve_capacity episodes "
+            "finish in one step on one device, the colliding entries are "
+            "dropped (counted in episodes_dropped). Raise curve_capacity to "
+            "at least envs_per_dev to rule this out.",
             stacklevel=2,
+        )
+    min_pushes = getattr(agent.replay_buffer, "min_pushes_before_sample", 1)
+    if learn and min_pushes > 1 and learning_starts == 0 and learn_every_k_steps < min_pushes:
+        # e.g. VisualReplayBuffer(dedup_next=True) excludes the newest
+        # resident push from sampling; learning off a 1-push buffer would
+        # silently resample that push with a zeroed next frame.
+        raise ValueError(
+            f"{type(agent.replay_buffer).__name__} needs "
+            f"{min_pushes} pushes before its first sample "
+            f"(min_pushes_before_sample), but learning_starts=0 with "
+            f"learn_every_k_steps={learn_every_k_steps} would learn after "
+            f"{learn_every_k_steps}. Set learning_starts >= "
+            f"{min_pushes} * num_envs or learn_every_k_steps >= {min_pushes}."
         )
     venv = VectorEnv(env, envs_per_dev)
     key = jax.random.PRNGKey(seed)

@@ -198,17 +198,19 @@ def test_ring_requires_frame_push_buffer():
 
 
 def test_dedup_next_reconstruction():
-    """1-frame/row mode: next stacks come from successor rows; episode-final
-    rows get a zero newest frame; the newest resident push is never
-    sampled."""
+    """1-frame/row mode: next stacks come from successor rows; TERMINATED
+    rows get a zero newest frame (invisible: TD masks them); TRUNCATED rows
+    get their true final frame from the `frame_t` side ring (exact
+    bootstrap); the newest resident push is never sampled."""
     B, T, CAP, F = 2, 3, 12, 4
     buf = VisualReplayBuffer(capacity=CAP, stack=T, num_envs=B, dedup_next=True)
+    assert buf.min_pushes_before_sample == 2
 
-    def rest(p, done):
+    def rest(p, term=False, trunc=False):
         return TransitionBatch(
             state=None, action=jnp.zeros((B, 1)),
             reward=jnp.full((B,), float(p)), next_state=None,
-            terminated=jnp.full((B,), done), truncated=jnp.zeros((B,), bool),
+            terminated=jnp.full((B,), term), truncated=jnp.full((B,), trunc),
             action_index=jnp.zeros((B,), jnp.int32),
         )
 
@@ -220,23 +222,76 @@ def test_dedup_next_reconstruction():
     )
     state = buf.init(ex)
     assert "frame_n" not in state.storage  # 1 frame/row: no next ring
-    # Pushes 0..4; push 2 ends an episode (terminated).
+    assert "frame_t" in state.storage  # truncation side ring
+    # Pushes 0..4; push 2 terminates, push 3 TRUNCATES. frame_n of push p is
+    # the true post-step observation, tagged 100+p so side-ring reads are
+    # distinguishable from successor-row reads.
     for p in range(5):
         frame = jnp.full((B, F), float(p))
-        state = buf.push_frames(state, frame, None, rest(p, p == 2))
+        frame_n = jnp.full((B, F), 100.0 + p)
+        state = buf.push_frames(
+            state, frame, frame_n, rest(p, term=p == 2, trunc=p == 3)
+        )
     batch = buf.sample(state, jax.random.PRNGKey(0), 128)
     pushes = np.asarray(batch.reward).astype(int)
     states = np.asarray(batch.state).reshape(128, T, F)[:, :, 0]
     nexts = np.asarray(batch.next_state).reshape(128, T, F)[:, :, 0]
     assert pushes.max() <= 3  # newest resident push (4) excluded
+    assert (pushes == 3).any()  # truncated push IS sampleable (exact now)
     for p, s_row, n_row in zip(pushes, states, nexts):
         assert s_row[-1] == p
-        if p == 2:  # terminated row: zero newest next frame
+        if p == 2:  # terminated row: zero newest next frame (TD-masked)
             assert n_row[-1] == 0.0
+        elif p == 3:  # truncated row: exact final frame from the side ring
+            assert n_row[-1] == 103.0
         else:  # successor reconstruction
             assert n_row[-1] == p + 1
         # next stack shares the state stack's newer frames shifted by one.
         np.testing.assert_array_equal(n_row[:-1], s_row[1:])
+
+
+def test_dedup_next_stale_side_ring_never_read():
+    """A lap later, a push WITHOUT truncation reuses a slot whose side slab
+    holds stale data; the overwriting rows are not truncated, so the stale
+    slab must be unreachable — and a NEW truncation in a reused slot must
+    overwrite the slab."""
+    B, T, CAP, F = 2, 2, 8, 4  # cap_pushes = 4
+    buf = VisualReplayBuffer(capacity=CAP, stack=T, num_envs=B, dedup_next=True)
+    ex = TransitionBatch(
+        state=jnp.zeros((1, T * F)), action=jnp.zeros((1, 1)),
+        reward=jnp.zeros((1,)), next_state=jnp.zeros((1, T * F)),
+        terminated=jnp.zeros((1,), bool), truncated=jnp.zeros((1,), bool),
+        action_index=jnp.zeros((1,), jnp.int32),
+    )
+
+    def rest(p, trunc):
+        return TransitionBatch(
+            state=None, action=jnp.zeros((B, 1)),
+            reward=jnp.full((B,), float(p)), next_state=None,
+            terminated=jnp.zeros((B,), bool), truncated=jnp.full((B,), trunc),
+            action_index=jnp.zeros((B,), jnp.int32),
+        )
+
+    state = buf.init(ex)
+    # Push 1 truncates (slot 1 side slab written), then a full lap of
+    # non-truncating pushes overwrites every slot; push 9 (slot 1 again)
+    # truncates with NEW data.
+    for p in range(10):
+        state = buf.push_frames(
+            state,
+            jnp.full((B, F), float(p)),
+            jnp.full((B, F), 100.0 + p),
+            rest(p, trunc=p in (1, 9)),
+        )
+    batch = buf.sample(state, jax.random.PRNGKey(1), 256)
+    pushes = np.asarray(batch.reward).astype(int)
+    nexts = np.asarray(batch.next_state).reshape(256, T, F)[:, :, 0]
+    assert set(pushes) <= {7, 8}  # oldest haircut + newest excluded
+    for p, n_row in zip(pushes, nexts):
+        assert n_row[-1] == p + 1  # successor path; stale slab never read
+    # Sanity: the rewritten slab holds push 9's frames, not push 1's.
+    slot1 = np.asarray(state.storage["frame_t"][1 * B : 2 * B, 0])
+    np.testing.assert_array_equal(slot1, np.full((B,), 109.0))
 
 
 def test_dedup_next_ring_pipeline_trains():
