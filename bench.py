@@ -16,14 +16,23 @@ Python loop does ~1e3-1e4 steps/s). Workloads, in order:
                                         early stopping active (printed LAST:
                                         the driver's recorded "parsed" line)
 
+Every metric line carries `n`/`min`/`max` from the repeat-window protocol
+(see `_sample_until_stable`); the curves line additionally carries
+`episodes_dropped`/`episodes_total`/`curve_capacity`.
+
 Env overrides: BENCH_NUM_ENVS, BENCH_LEARNS_PER_CALL, BENCH_STEPS_PER_LEARN,
 BENCH_CALLS, BENCH_CAPACITY, BENCH_BATCH_SIZE, BENCH_QNET, BENCH_ACT_DTYPE,
 BENCH_BUFFER=packed, BENCH_DEFERRED=1, BENCH_ONLINE_CALLS,
-BENCH_SKIP_EXTRAS=1 (headline + driver only), BENCH_TIME_BUDGET (seconds;
-extras are skipped once exceeded so the driver metric always lands).
+BENCH_CURVE_CAPACITY, BENCH_MIN_REPS / BENCH_MAX_REPS / BENCH_REL_ERR /
+BENCH_MIN_WINDOW_S (repeat-window protocol), BENCH_SKIP_EXTRAS=1 (headline +
+driver only), BENCH_TIME_BUDGET (seconds; extras are skipped once exceeded so
+the driver metric always lands), BENCH_PLATFORM=cpu (CPU smoke run — sets the
+jax platform at config level, which the axon sitecustomize would otherwise
+override).
 """
 
 import json
+import math
 import os
 import sys
 import time
@@ -31,26 +40,68 @@ import time
 _T0 = time.perf_counter()
 
 
-def _emit(metric, steps_per_sec):
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(steps_per_sec, 1),
-                "unit": "env_steps/s",
-                "vs_baseline": round(steps_per_sec / 1e6, 3),
-            }
-        ),
-        flush=True,
-    )
+def _emit(metric, steps_per_sec, samples=None, **extra):
+    """One JSON line per metric. `value` is the mean over repeated timing
+    windows; `n`/`min`/`max` expose the spread (round-4 verdict: sub-second
+    unreplicated windows hid a 1.5x CSAC spread between runs)."""
+    rec = {
+        "metric": metric,
+        "value": round(steps_per_sec, 1),
+        "unit": "env_steps/s",
+        "vs_baseline": round(steps_per_sec / 1e6, 3),
+    }
+    if samples:
+        rec["n"] = len(samples)
+        rec["min"] = round(min(samples), 1)
+        rec["max"] = round(max(samples), 1)
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
 
 
 def _note(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
+# Repeat-window protocol: each sample is one timed group of calls; sampling
+# continues until the standard error of the mean is under BENCH_REL_ERR (5%)
+# with >= BENCH_MIN_REPS samples and >= BENCH_MIN_WINDOW_S of total timed
+# work, bounded by BENCH_MAX_REPS and the global time budget.
+_MIN_REPS = int(os.environ.get("BENCH_MIN_REPS", 4))
+_MAX_REPS = int(os.environ.get("BENCH_MAX_REPS", 12))
+_REL_ERR = float(os.environ.get("BENCH_REL_ERR", 0.05))
+_MIN_WINDOW_S = float(os.environ.get("BENCH_MIN_WINDOW_S", 5.0))
+
+
+def _sample_until_stable(run_group, steps_per_group, label, budget):
+    """run_group(i) -> None executes one synchronized timing group; returns
+    (mean_sps, samples)."""
+    samples = []
+    timed_total = 0.0
+    while True:
+        t0 = time.perf_counter()
+        run_group(len(samples))
+        dt = time.perf_counter() - t0
+        timed_total += dt
+        samples.append(steps_per_group / dt)
+        n = len(samples)
+        if n >= _MIN_REPS and timed_total >= _MIN_WINDOW_S:
+            mean = sum(samples) / n
+            var = sum((s - mean) ** 2 for s in samples) / (n - 1)
+            stderr = math.sqrt(var / n)
+            if stderr < _REL_ERR * mean:
+                break
+        if n >= _MAX_REPS or not _budget_left(budget):
+            break
+    mean = sum(samples) / len(samples)
+    _note(
+        f"{label}: n={len(samples)} windows, {timed_total:.2f}s timed, "
+        f"mean={mean:,.0f} min={min(samples):,.0f} max={max(samples):,.0f}"
+    )
+    return mean, samples
+
+
 def _measure_fused(agent, env, *, num_envs, steps_per_learn, learns_per_call,
-                   calls, deferred_push=None, label=""):
+                   calls, deferred_push=None, label="", budget=float("inf")):
     import jax
 
     from pearl_tpu.training.throughput import make_compiled_runner
@@ -68,19 +119,20 @@ def _measure_fused(agent, env, *, num_envs, steps_per_learn, learns_per_call,
     astate, env_states, stats = run_fn(astate, env_states, jax.random.PRNGKey(1))
     jax.block_until_ready(stats)
     _note(f"{label}: warmup (compile) {time.perf_counter()-t:.1f}s")
-    t0 = time.perf_counter()
-    for i in range(calls):
-        astate, env_states, stats = run_fn(
-            astate, env_states, jax.random.PRNGKey(2 + i)
-        )
-    jax.block_until_ready(stats)
-    elapsed = time.perf_counter() - t0
-    total_steps = calls * learns_per_call * steps_per_learn * num_envs
-    _note(
-        f"{label}: {calls} calls, {elapsed:.2f}s, "
-        f"episodes={int(stats['episodes'])}"
-    )
-    return total_steps / elapsed
+
+    state = {"astate": astate, "env_states": env_states}
+
+    def run_group(g):
+        astate, env_states, stats = state["astate"], state["env_states"], None
+        for i in range(calls):
+            astate, env_states, stats = run_fn(
+                astate, env_states, jax.random.PRNGKey(2 + g * calls + i)
+            )
+        jax.block_until_ready(stats)
+        state["astate"], state["env_states"] = astate, env_states
+
+    steps_per_group = calls * learns_per_call * steps_per_learn * num_envs
+    return _sample_until_stable(run_group, steps_per_group, label, budget)
 
 
 def _budget_left(budget):
@@ -89,6 +141,9 @@ def _budget_left(budget):
 
 def main():
     import jax
+
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
     # Persistent compilation cache: fused runners take minutes to compile
     # through this container's remote-compile tunnel; cache across runs.
@@ -154,12 +209,12 @@ def main():
         ),
         replay_buffer=buffer,
     )
-    sps = _measure_fused(
+    sps, smp = _measure_fused(
         agent, CartPole(), num_envs=num_envs, steps_per_learn=steps_per_learn,
         learns_per_call=learns_per_call, calls=calls, deferred_push=deferred,
-        label="dqn",
+        label="dqn", budget=budget,
     )
-    _emit("dqn_cartpole_env_steps_per_s", sps)
+    _emit("dqn_cartpole_env_steps_per_s", sps, smp)
     _note(f"device={jax.devices()[0]} num_envs={num_envs}")
 
     # ---- 2. CNN-DQN at Atari-native 84x84x4 (visual pipeline) --------------
@@ -208,13 +263,14 @@ def main():
                 frame_dtype=jnp.bfloat16, dedup_next=dedup,
             ),
         )
-        sps_cnn = _measure_fused(
+        sps_cnn, smp_cnn = _measure_fused(
             cnn_agent,
             SyntheticAtari(frames=1, obs_dtype=None if legacy else jnp.bfloat16),
             num_envs=cnn_envs,
             steps_per_learn=8, learns_per_call=8, calls=5, label="cnn84",
+            budget=budget,
         )
-        _emit("cnn_dqn_atari84_env_steps_per_s", sps_cnn)
+        _emit("cnn_dqn_atari84_env_steps_per_s", sps_cnn, smp_cnn)
         # MFU estimate: ~5.3 MFLOP/frame forward (conv1 3.3M + conv2 1.3M +
         # fc 0.7M), act 1 fwd/env-step + learn ~4 fwd-equiv x 512 per 8 x
         # cnn_envs steps.
@@ -239,13 +295,14 @@ def main():
             ),
             replay_buffer=BasicReplayBuffer(capacity=262_144),
         )
-        # 50 timing calls: the round-2 protocol — at >200M steps/s a short
-        # window under-measures (dispatch latency dominates 0.1s windows).
-        sps_csac = _measure_fused(
+        # 50 calls/window (round-2 protocol: dispatch latency dominates
+        # 0.1s windows), repeated until stderr < 5% — round 4's single
+        # 0.42s window hid a 1.5x between-run spread on this metric.
+        sps_csac, smp_csac = _measure_fused(
             csac, Pendulum(), num_envs=16_384, steps_per_learn=8,
-            learns_per_call=16, calls=50, label="csac",
+            learns_per_call=16, calls=50, label="csac", budget=budget,
         )
-        _emit("csac_pendulum_env_steps_per_s", sps_csac)
+        _emit("csac_pendulum_env_steps_per_s", sps_csac, smp_csac)
     else:
         _note("csac skipped (budget/flag)")
 
@@ -266,38 +323,59 @@ def main():
                 capacity=rollout * ppo_envs, num_envs=ppo_envs
             ),
         )
-        sps_ppo = _measure_fused(
+        sps_ppo, smp_ppo = _measure_fused(
             ppo, CartPole(), num_envs=ppo_envs, steps_per_learn=rollout,
-            learns_per_call=16, calls=50, label="ppo",
+            learns_per_call=16, calls=50, label="ppo", budget=budget,
         )
-        _emit("ppo_cartpole_env_steps_per_s", sps_ppo)
+        _emit("ppo_cartpole_env_steps_per_s", sps_ppo, smp_ppo)
     else:
         _note("ppo skipped (budget/flag)")
 
     # ---- 3c. Driver with REAL per-episode curves (stats="curves") ----------
+    # Self-consistent config (round-4 verdict item 4): curve_capacity covers
+    # the per-device env count, so no episode can be dropped to ring
+    # collisions and the bench never fires its own collision warning; the
+    # measured drop count is emitted with the metric. The ring is (R, 3)
+    # floats — R = num_envs costs 1.5 MB of device memory and one host drain
+    # per dispatch. BENCH_CURVE_CAPACITY overrides (smaller R = sampled
+    # curves; episodes_dropped then reports the loss honestly).
     if not skip_extras and _budget_left(budget):
         from pearl_tpu.training.online import online_learning as _ol
 
+        curve_cap = int(os.environ.get("BENCH_CURVE_CAPACITY", num_envs))
         spd_c = num_envs * steps_per_learn * learns_per_call
         _ol(
             agent, CartPole(), num_envs=num_envs, max_steps=spd_c * 2,
             learn_every_k_steps=steps_per_learn,
             chunks_per_dispatch=learns_per_call, seed=0, target_return=1e9,
-            stats="curves", curve_capacity=16_384,
+            stats="curves", curve_capacity=curve_cap,
         )
-        t0 = time.perf_counter()
-        res_c = _ol(
-            agent, CartPole(), num_envs=num_envs, max_steps=spd_c * 20,
-            learn_every_k_steps=steps_per_learn,
-            chunks_per_dispatch=learns_per_call, seed=1, target_return=1e9,
-            stats="curves", curve_capacity=16_384,
+        curve_state = {"dropped": 0, "episodes": 0, "drained": 0}
+
+        def run_curve_group(g):
+            res_c = _ol(
+                agent, CartPole(), num_envs=num_envs, max_steps=spd_c * 5,
+                learn_every_k_steps=steps_per_learn,
+                chunks_per_dispatch=learns_per_call, seed=1 + g,
+                target_return=1e9, stats="curves", curve_capacity=curve_cap,
+            )
+            curve_state["dropped"] += int(res_c.episodes_dropped)
+            curve_state["episodes"] += int(res_c.total_episodes)
+            curve_state["drained"] += len(res_c.episode_returns)
+
+        sps_curves, smp_curves = _sample_until_stable(
+            run_curve_group, spd_c * 5, "curves", budget
         )
-        sps_curves = res_c.total_steps / (time.perf_counter() - t0)
         _note(
-            f"curves driver: {res_c.total_episodes} episodes, "
-            f"{len(res_c.episode_returns)} drained"
+            f"curves driver: R={curve_cap}, {curve_state['episodes']} episodes, "
+            f"{curve_state['drained']} drained, {curve_state['dropped']} dropped"
         )
-        _emit("online_learning_curves_env_steps_per_s", sps_curves)
+        _emit(
+            "online_learning_curves_env_steps_per_s", sps_curves, smp_curves,
+            episodes_dropped=curve_state["dropped"],
+            episodes_total=curve_state["episodes"],
+            curve_capacity=curve_cap,
+        )
     else:
         _note("curves driver skipped (budget/flag)")
 
@@ -315,19 +393,26 @@ def main():
         seed=0, target_return=1e9, target_window=20, stats="summary",
     )
     _note(f"online_learning warmup {time.perf_counter()-t_warm:.1f}s")
-    online_calls = int(os.environ.get("BENCH_ONLINE_CALLS", 40))
-    t0 = time.perf_counter()
-    res = online_learning(
-        agent, env, num_envs=num_envs, max_steps=spd * online_calls,
-        learn_every_k_steps=steps_per_learn, chunks_per_dispatch=learns_per_call,
-        seed=1, target_return=1e9, target_window=20, stats="summary",
+    online_calls = int(os.environ.get("BENCH_ONLINE_CALLS", 10))
+
+    def run_driver_group(g):
+        res = online_learning(
+            agent, env, num_envs=num_envs, max_steps=spd * online_calls,
+            learn_every_k_steps=steps_per_learn,
+            chunks_per_dispatch=learns_per_call, seed=1 + g,
+            target_return=1e9, target_window=20, stats="summary",
+        )
+        run_driver_group.last = res
+
+    online_sps, smp_online = _sample_until_stable(
+        run_driver_group, spd * online_calls, "driver", budget
     )
-    online_sps = res.total_steps / (time.perf_counter() - t0)
+    res = run_driver_group.last
     _note(
-        f"online_learning driver: {res.total_steps} steps, "
+        f"online_learning driver: {res.total_steps} steps/group, "
         f"{res.total_episodes} episodes, early-stop active"
     )
-    _emit("online_learning_driver_env_steps_per_s", online_sps)
+    _emit("online_learning_driver_env_steps_per_s", online_sps, smp_online)
 
 
 if __name__ == "__main__":

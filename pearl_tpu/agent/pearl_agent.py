@@ -243,9 +243,9 @@ class PearlAgent:
 
         frame_s = summ.newest_frame(astate.history_carry)
         frame_n = result.observation
-        from pearl_tpu.ops.layout_fence import copy_fence, use_layout_fence
+        from pearl_tpu.ops.layout_fence import copy_fence, use_push_fence
 
-        if use_layout_fence() and jax.default_backend() == "tpu":
+        if use_push_fence() and jax.default_backend() == "tpu":
             # Layout-cycle breaker (bit-exact identity): without it the ring
             # carry and the replay frame ring pin each other batch/column-
             # minor through this push even when the convs are fenced off the

@@ -146,9 +146,18 @@ class FrameRingHistorySummarization(HistorySummarizationModule):
         the other T-1 slots."""
         c = carry.cursor
         entry = jnp.where(done[:, None], reset_obs, obs)
-        ring = jax.lax.dynamic_update_slice_in_dim(
-            carry.ring, entry[:, None, :].astype(carry.ring.dtype), c, axis=1
-        )
+        from pearl_tpu.ops.ring_write import ring_write, use_ring_write
+
+        if use_ring_write() and jax.default_backend() == "tpu":
+            # In-place Pallas slab write: XLA fuses the plain DUS below into
+            # a full-carry rewrite (0.37 ms/step at bench shape, not layout-
+            # fixable — ops/ring_write.py); the aliased kernel moves only
+            # the one-frame slab.
+            ring = ring_write(carry.ring, entry, c)
+        else:
+            ring = jax.lax.dynamic_update_slice_in_dim(
+                carry.ring, entry[:, None, :].astype(carry.ring.dtype), c, axis=1
+            )
         valid = jnp.where(done[:, None], jnp.zeros_like(carry.valid), carry.valid)
         valid = jax.lax.dynamic_update_slice_in_dim(
             valid, jnp.ones((entry.shape[0], 1), bool), c, axis=1

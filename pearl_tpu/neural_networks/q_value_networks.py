@@ -438,28 +438,26 @@ class CNNQValueNetwork:
             use_ring_conv,
         )
 
+        rc_bb = 512 if B % 512 == 0 else 128
         if (
             use_ring_conv()
             and not getattr(view, "from_replay", True)
             and jax.default_backend() == "tpu"
             and ring_conv_applicable(
-                B, T, H, W, fc, self.kernel_sizes[0], s0, p0, 32
+                B, T, H, W, fc, self.kernel_sizes[0], s0, p0, rc_bb
             )
         ):
-            # Pallas path (TPU, fc==1, no padding): keeps the XLA conv OFF
-            # the ring carry so layout assignment cannot pessimize the
-            # per-step ring writes (ops/ring_conv.py). The /255 input
-            # normalization is folded into the kernel weights (exact:
-            # conv(x/255, W) == conv(x, W/255)); masking + bias + relu fuse
-            # into the kernel.
+            # Pallas path (TPU act path, fc==1, no padding): conv1 + mask +
+            # /255 + bias + relu in one kernel that reads the ring in its
+            # NATIVE {0,2,1} layout — no relayout copies, no masked-input
+            # materialization, and the XLA conv never touches the carry
+            # (ops/ring_conv.py). The /255 normalization is folded into the
+            # kernel weights (exact: conv(x/255, W) == conv(x, W/255)).
             k = self.kernel_sizes[0]
             wmat = (k0r / 255.0).transpose(2, 0, 1, 3).reshape(T * k * k, -1)
-            oc = ring_conv1(
-                ring, valid, wmat, b0, H=H, W=W, k=k, s=s0, batch_block=32
-            )  # (OC, B*OH*OW) channel-major
-            OH = (H - k) // s0 + 1
-            OW = (W - k) // s0 + 1
-            y = oc.reshape(-1, B, OH, OW).transpose(1, 2, 3, 0)
+            y = ring_conv1(
+                ring, valid, wmat, b0, H=H, W=W, k=k, s=s0, batch_block=rc_bb
+            )  # (B, OH, OW, OC)
         else:
             from pearl_tpu.ops.layout_fence import (
                 masked_scale_fence,

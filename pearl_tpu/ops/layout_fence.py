@@ -48,15 +48,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def use_layout_fence() -> bool:
-    """Opt-in until measured faster on chip (TPU callers additionally gate
-    on backend == "tpu"); PEARL_TPU_LAYOUT_FENCE=1 enables."""
+    """Conv-input fences (masked_scale_fence/-4), opt-in: measured NET
+    NEGATIVE on chip standalone (the carry<->ring layout cycle survives and
+    the fence only adds copies; docs/PARITY.md round-5 ladder);
+    PEARL_TPU_LAYOUT_FENCE=1 enables. TPU callers additionally gate on
+    backend == "tpu"."""
     return os.environ.get("PEARL_TPU_LAYOUT_FENCE", "0") == "1"
 
 
+def use_push_fence() -> bool:
+    """Push-path copy_fence, gated separately (PEARL_TPU_PUSH_FENCE;
+    defaults to following PEARL_TPU_LAYOUT_FENCE): measured to flip the
+    replay frame rings row-major (push scatter 0.13 ms/step -> off the
+    profile) independently of the conv-input fences."""
+    return (
+        os.environ.get(
+            "PEARL_TPU_PUSH_FENCE",
+            os.environ.get("PEARL_TPU_LAYOUT_FENCE", "0"),
+        )
+        == "1"
+    )
+
+
 def _fence4_kernel(x_ref, m_ref, o_ref, *, div):
-    # 4-D variant: block (bb, T, H, W), mask (bb, T). Double unit-dim
-    # insertion on the f32 mask (32-bit: allowed by Mosaic).
-    y = x_ref[:].astype(jnp.float32) * m_ref[:][:, :, None, None]
+    # 4-D variant: block (bb, T, H, W); mask arrives pre-shaped (bb, T, 1, 1)
+    # so the kernel only BROADCASTS it (in-kernel unit-dim insertion —
+    # tpu.reshape (bb,T) -> (bb,T,1,1) — is a Mosaic "unsupported shape
+    # cast", measured round 5).
+    y = x_ref[:].astype(jnp.float32) * m_ref[:]
     if div != 1.0:
         y = y * jnp.float32(1.0 / div)
     o_ref[:] = y.astype(o_ref.dtype)
@@ -75,7 +94,7 @@ def masked_scale_fence4(ring, valid, *, H, W, div=255.0):
     B, T, F = ring.shape
     assert F == H * W
     x = ring.reshape(B, T, H, W)  # free row-major view
-    m = valid.astype(jnp.float32)
+    m = valid.astype(jnp.float32).reshape(B, T, 1, 1)
     # (H, W) lane-tiles to (ceil8(H), ceil128(W)) for f32, twice that
     # sublane count for bf16 — small blocks keep padded in+out double
     # buffers well under the ~16 MB/core VMEM budget.
@@ -91,7 +110,7 @@ def masked_scale_fence4(ring, valid, *, H, W, div=255.0):
         grid=(B // bb,),
         in_specs=[
             pl.BlockSpec((bb, T, H, W), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, T), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, T, 1, 1), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (bb, T, H, W), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM

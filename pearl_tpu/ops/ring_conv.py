@@ -1,34 +1,51 @@
-"""Pallas first-conv kernel for the frame-ring visual act path.
+"""Pallas first-conv kernel for the frame-ring visual act path (v2).
 
-Why a kernel here at all: the round-4 profile (docs/PARITY.md "Round-4
-visual ladder") showed the visual act path is bounded not by bytes or FLOPs
-but by XLA:TPU's layout assignment — an XLA convolution that reads the
-frame-ring loop carry drags the whole carry into a conv-friendly,
-batch-minor layout, which turns the per-step ring slab write into a strided
-full-ring rewrite (0.37 ms/step) and adds a relayout copy (0.19 ms/step).
-Microbenchmarks put the same DUS at 0.003 ms/step when no conv reads the
-carry. A Pallas kernel consumes standard row-major operands, so routing the
-first conv through Pallas SEVERS that layout propagation: the ring's only
-remaining consumers (dynamic-update-slice write, newest-frame slice) are
-row-major-friendly.
+Why a kernel here: the visual act step's cost is dominated not by FLOPs but
+by XLA:TPU layout traffic around conv1 — the round-5 profile of the best
+XLA-only pipeline shows, per 1024-env step, ~0.28 ms of pure relayout
+(carry -> row-major copy for masking, masked input -> conv's custom-tiled
+{0,1,3,2} T(4,128) layout) plus 0.28 ms of fence/mask materialization around
+a 0.12 ms convolution. This kernel computes conv1 + masking + /255 + bias +
+relu in ONE pass that reads the ring in its NATIVE layout, so every
+intermediate disappears.
 
-The kernel computes the stride-s, no-padding first conv over the circular
-window IN RING ORDER, with validity masking fused into the read:
+Native layout: XLA lays the (B, T, F) bf16 ring out as {0,2,1}
+(minor-to-major b, F, t) because row-major would sublane-pad T=4 -> 16 and
+quadruple HBM traffic (measured, docs/PARITY.md round-5). The (T, F, B)
+logical transpose of that layout is row-major, so this kernel takes the
+(T, H, W/s, s, B) free view and the bracketing transposes are bitcasts.
 
-    out[b, oy, ox, oc] = relu(bias[oc] +
-        sum_{t,ky,kx} ring[b, t, (s*oy+ky)*W + (s*ox+kx)]
-                      * valid[b, t] * Wmat[t*k*k + ky*k + kx, oc])
+Design, shaped by the measured Mosaic constraint map (round 4/5, see
+docs/PARITY.md and the memory notes in ops/layout_fence.py):
 
-where Wmat is the (cursor-rotated, /255-folded) conv kernel flattened in
-(t, ky, kx) order. The im2col happens in VMEM per batch block: k*k strided
-slices per frame slot build the (BB*OH*OW, T*k*k) patch matrix for ONE MXU
-matmul per block. Applicability (static): fc == 1, padding == 0, square
-kernel/stride; callers fall back to the XLA path otherwise
-(`ring_conv_applicable`).
+- **x-stride via DMA phase-split, not strided vector slices** (Mosaic
+  forbids strides): the input stays in HBM (`memory_space=ANY`); for each
+  (batch-block, output-row) the kernel DMAs the k-row y-band as `s` phase
+  slabs — slicing the ring's pre-split s-axis — into a VMEM scratch
+  (s, T, k, W/s, bb) whose minor pair (W/s, bb) tiles with ~1.14x padding
+  (the round-4 design's 6-D VMEM block padded ~37x and could never fit).
+- **y-stride via dynamic-start DMA slices** (band start = s*oy), which also
+  handles the k > s halo that pallas's non-overlapping BlockSpecs cannot.
+- **Double-buffered DMA**: scratch and semaphores are (2, s); each grid
+  step issues the next band's DMAs before computing the current one.
+- **im2col in VMEM, fori-loop body**: a `fori_loop` over (t, ky) with the
+  s*k=8-way kx unroll inside keeps the MLIR ~32x smaller than the round-4
+  fully-unrolled body that OOM-killed the remote compiler; patch rows are
+  masked by the (T, B) validity mask as they are built (so invalid frames
+  read as zero, exactly the XLA path's semantics).
+- **Strictly 2-D matmuls** (Mosaic rule): per 128-lane batch chunk, one
+  (OC, KK) x (KK, OW*128) dot in f32 accumulation on the MXU.
+
+Output is (OH, OC, OW, B) row-major — the caller transposes to NHWC for
+conv2, one small (13 MB at bench shape) XLA relayout.
+
+Applicability (static): fc == 1, padding == 0, square kernel/stride with
+k % s == H % s == W % s == (H-k) % s == (W-k) % s == 0, B % batch_block == 0
+(`ring_conv_applicable`); callers fall back to the XLA path otherwise.
 
 Correctness is pinned against the XLA convolution on random data in
-interpret mode on CPU (tests/test_ring_conv.py) and by the visual
-pipeline's bit-equality suite on TPU shapes.
+interpret mode (tests/test_ring_conv.py) and by the visual pipeline's
+bit-equality suite.
 """
 
 from __future__ import annotations
@@ -43,24 +60,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def use_ring_conv() -> bool:
-    """Opt-in (PEARL_TPU_RING_CONV=1). Default OFF: the kernel's math is
-    pinned (tests/test_ring_conv.py, interpret mode) but the fully-unrolled
-    body (T*k*k patch stores + per-row dots) OOM-killed this container's
-    remote TPU compiler, so the end-to-end win is unverified on hardware.
-    Mosaic constraints discovered while building it (each a measured
-    compile failure, round 4): no strided vector slices (fold strides into
-    a pre-kernel reshape and slice a 6-D ref); no big vector shape-casts
-    (merge/split only the minor dims); minor-dim broadcast insertion and
-    unit-dim inserts only for 32-bit types (route masks through f32);
-    matmuls strictly 2-D (loop the batch block). Next step: lax.fori_loop
-    body + dynamic ref indexing to shrink the MLIR, or a smaller unroll."""
+    """Opt-in (PEARL_TPU_RING_CONV=1) until measured faster on chip; TPU
+    callers additionally gate on backend == "tpu"."""
     return os.environ.get("PEARL_TPU_RING_CONV", "0") == "1"
 
 
 def ring_conv_applicable(B, T, H, W, fc, k, s, p, batch_block) -> bool:
-    # The in-kernel im2col folds the stride into a reshape (Mosaic only
-    # supports unit-stride vector slices), which needs k and the spatial
-    # dims to be multiples of s.
     return (
         fc == 1
         and p == 0
@@ -70,94 +75,144 @@ def ring_conv_applicable(B, T, H, W, fc, k, s, p, batch_block) -> bool:
         and (H - k) % s == 0
         and (W - k) % s == 0
         and B % batch_block == 0
+        and batch_block % 128 == 0  # lane-aligned chunking
     )
 
 
 def _kernel(
-    ring6_ref, valid_ref, w_ref, b_ref, out_ref, scratch_ref, *, T, H, W, k, s
+    ring5_ref, m_ref, w_ref, b_ref, out_ref, scratch5, patches, sems,
+    *, T, H, W, k, s, bb, n_blocks,
 ):
     OH = (H - k) // s + 1
     OW = (W - k) // s + 1
-    BB = ring6_ref.shape[0]
-    KK = T * k * k
-    # Mosaic restrictions shape this kernel: no strided vector slices, no
-    # big vector shape-casts / minor-dim stacks, and minor-dim broadcast
-    # insertion only for 32-bit types. So (a) the stride-s fold
-    # (B, T, H, W) -> (B, T, H/s, s, W/s, s) happens OUTSIDE as a free XLA
-    # view and patches are read as unit-stride REF slices here (row
-    # s*oy+ky with ky = s*p+u lives at [..., oy+p, u, ...]); (b) the patch
-    # matrix is assembled FEATURE-MAJOR in a VMEM scratch via contiguous
-    # stores (scratch[j] = slice), so the matmul runs transposed:
-    # out(OC, N) = W^T (OC, KK) @ patches (KK, N).
-    mask = valid_ref[:]  # (BB, T) f32
-    for t in range(T):
-        mt = mask[:, t][:, None]  # f32 insertion: allowed
-        for ky in range(k):
-            p, u = divmod(ky, s)
+    # Lane-aligned batch chunk per matmul (Mosaic: 2-D dots only).
+    CH = min(128, bb)
+    i = pl.program_id(0)  # batch block
+    oy = pl.program_id(1)  # output row
+    g = i * OH + oy
+
+    def start_band(slot, bi, row):
+        # One DMA per x-phase: (T, k, W/s, bb) each; innermost contiguous
+        # run is bb elements of the ring's native minor (batch) dim.
+        for r in range(s):
+            pltpu.make_async_copy(
+                ring5_ref.at[
+                    :, pl.ds(row * s, k), :, r, pl.ds(bi * bb, bb)
+                ],
+                scratch5.at[slot, r],
+                sems.at[slot, r],
+            ).start()
+
+    def wait_band(slot):
+        for r in range(s):
+            # Matching descriptor; waits the copy tracked by sems[slot, r].
+            pltpu.make_async_copy(
+                ring5_ref.at[:, pl.ds(0, k), :, r, pl.ds(0, bb)],
+                scratch5.at[slot, r],
+                sems.at[slot, r],
+            ).wait()
+
+    @pl.when(g == 0)
+    def _():
+        start_band(0, 0, 0)
+
+    last = n_blocks * OH - 1
+
+    @pl.when(g < last)
+    def _():
+        nxt = g + 1
+        start_band(nxt % 2, nxt // OH, nxt % OH)
+
+    wait_band(g % 2)
+    slot = g % 2
+
+    # im2col into the 3-D `patches` scratch (KK, OW, CH) per 128-lane
+    # chunk, then one strictly-2-D MXU dot per output column. fori loops
+    # over (t, ky) and ox keep the MLIR ~32x smaller than the fully
+    # unrolled round-4 body that OOM-killed the compiler, and no vector
+    # reshape ever changes rank (Mosaic rejects rank-1 results and most
+    # shape casts — measured).
+    for c0 in range(0, bb, CH):
+
+        def build(j, carry):
+            t = j // k
+            ky = j % k
+            mt = m_ref[t, 0, :, pl.ds(c0, CH)]  # (1, CH) f32
             for kx in range(k):
                 q, r = divmod(kx, s)
-                sl = ring6_ref[:, t, p : p + OH, u, q : q + OW, r]
-                sl2 = (sl.astype(jnp.float32).reshape(BB, OH * OW) * mt)
-                scratch_ref[t * k * k + ky * k + kx] = sl2.astype(
-                    scratch_ref.dtype
-                )
-    # Mosaic matmuls are strictly 2-D and the (KK, BB, N) -> (KK, BB*N)
-    # merge is an unsupported shape cast, so the contraction loops over the
-    # (small) batch block: BB dots of (KK, OC)^T @ (KK, N).
-    del KK
-    for b in range(BB):
-        yb = jax.lax.dot_general(
-            w_ref[:], scratch_ref[:, b, :],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (OC, OH*OW)
-        yb = jnp.maximum(yb + b_ref[:][:, None], 0.0)
-        n = yb.shape[1]
-        out_ref[:, b * n : (b + 1) * n] = yb.astype(out_ref.dtype)
+                sl = scratch5[
+                    slot, r, t, ky, pl.ds(q, OW), pl.ds(c0, CH)
+                ]  # (OW, CH)
+                slm = sl.astype(jnp.float32) * mt  # broadcast (1,CH)->(OW,CH)
+                patches[j * k + kx] = slm.astype(patches.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, T * k, build, 0)
+
+        def contract(ox, carry):
+            p = patches[:, ox, :]  # (KK, CH)
+            y = jax.lax.dot_general(
+                w_ref[:], p,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (OC, CH)
+            y = jnp.maximum(y + b_ref[:], 0.0)
+            out_ref[0, :, ox, pl.ds(c0, CH)] = y.astype(out_ref.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, OW, contract, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "k", "s", "batch_block"))
-def ring_conv1(ring, valid, wmat, bias, *, H, W, k, s, batch_block=32):
-    """conv1 + bias + relu over the masked ring window.
+@functools.partial(
+    jax.jit, static_argnames=("H", "W", "k", "s", "batch_block")
+)
+def ring_conv1(ring, valid, wmat, bias, *, H, W, k, s, batch_block=512):
+    """conv1 + mask + bias + relu over the ring window, native layout.
 
-    ring:  (B, T, H*W) frames in ring order (any float dtype)
+    ring:  (B, T, F) frames in ring order (the {0,2,1} carry)
     valid: (B, T) bool validity
     wmat:  (T*k*k, OC) kernel flattened in (t, ky, kx) order — pre-rotated
            by the cursor and pre-scaled by any input normalization
     bias:  (OC,)
-    Returns (OC, B*OH*OW) in ring.dtype (channel-major — the kernel's
-    matmul runs transposed; callers transpose/reshape to NHWC outside,
-    where XLA's transpose is a cheap bandwidth-bound pass).
+    Returns (B, OH, OW, OC) NHWC (one small XLA relayout from the kernel's
+    (OH, OC, OW, B) raw output).
     """
     B, T, F = ring.shape
     OH = (H - k) // s + 1
     OW = (W - k) // s + 1
     OC = wmat.shape[1]
-    BB = batch_block
-    ring6 = ring.reshape(B, T, H // s, s, W // s, s)  # free row-major view
-    kern = functools.partial(_kernel, T=T, H=H, W=W, k=k, s=s)
-    return pl.pallas_call(
+    bb = batch_block
+    KK = T * k * k
+    # (T, F, B) is the bitcast view of the carry's native layout; the s-axis
+    # pre-split gives the DMA its phase hyperrectangles.
+    ring5 = jnp.transpose(ring, (1, 2, 0)).reshape(T, H, W // s, s, B)
+    m = jnp.transpose(valid.astype(jnp.float32), (1, 0)).reshape(T, 1, 1, B)
+    kern = functools.partial(
+        _kernel, T=T, H=H, W=W, k=k, s=s, bb=bb, n_blocks=B // bb
+    )
+    out = pl.pallas_call(
         kern,
-        grid=(B // BB,),
+        grid=(B // bb, OH),
         in_specs=[
-            pl.BlockSpec(
-                (BB, T, H // s, s, W // s, s),
-                lambda i: (i, 0, 0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((BB, T), lambda i: (i, 0), memory_space=pltpu.VMEM),  # f32
-            pl.BlockSpec((T * k * k, OC), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((OC,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # ring5 stays in HBM
+            pl.BlockSpec((T, 1, 1, bb), lambda i, oy: (0, 0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KK, OC), lambda i, oy: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((OC, 1), lambda i, oy: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (OC, BB * OH * OW), lambda i: (0, i), memory_space=pltpu.VMEM
+            (1, OC, OW, bb), lambda i, oy: (oy, 0, 0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((OC, B * OH * OW), ring.dtype),
-        scratch_shapes=[pltpu.VMEM((T * k * k, BB, OH * OW), ring.dtype)],
+        out_shape=jax.ShapeDtypeStruct((OH, OC, OW, B), ring.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, s, T, k, W // s, bb), ring.dtype),
+            pltpu.VMEM((KK, OW, min(128, bb)), ring.dtype),
+            pltpu.SemaphoreType.DMA((2, s)),
+        ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * OH * OW * OC * T * k * k,
-            bytes_accessed=ring.size * ring.dtype.itemsize
+            flops=2 * B * OH * OW * OC * KK,
+            bytes_accessed=2 * ring.size * ring.dtype.itemsize
             + B * OH * OW * OC * ring.dtype.itemsize,
             transcendentals=0,
         ),
-    )(ring6, valid.astype(jnp.float32), wmat.astype(ring.dtype), bias.astype(jnp.float32))
+    )(ring5, m, wmat.astype(ring.dtype), bias.reshape(OC, 1).astype(jnp.float32))
+    return jnp.transpose(out, (3, 0, 2, 1))

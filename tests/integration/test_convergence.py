@@ -11,6 +11,7 @@ sizes / learning rates / update-to-data ratios); budgets are in env steps
 in ~5 minutes on a 2-core CPU vs hours for the reference's step-at-a-time
 loop (docs/PARITY.md has head-to-head numbers)."""
 
+import jax
 import numpy as np
 
 from pearl_tpu.agent import PearlAgent
@@ -282,3 +283,34 @@ def test_dqn_solves_frozen_lake():
         learning_starts=500, seed=42, target_return=1.0, target_window=5,
     )
     _assert_reached(res, 1.0)
+
+
+# ------------------------------------------------- mesh-mode learning (DP)
+def test_dqn_reaches_cartpole_500_on_mesh():
+    """Mesh-mode learning-to-target (VERDICT r4 item 2): the SAME reference
+    anchor as test_dqn_reaches_cartpole_500 — CartPole return 500
+    (reference test_integration.py:127-128) — but trained data-parallel
+    through `online_learning(mesh=make_mesh(2))` on the virtual 2-device
+    CPU mesh: env shards + replay shards per device, learner replicated
+    with in-graph gradient pmean. Asserts genuine convergence AND that the
+    replicas are still bit-identical at the end — DP training *learns*, not
+    just stays synchronized."""
+    from pearl_tpu.parallel import make_mesh
+
+    agent = PearlAgent(
+        policy_learner=DeepQLearning(
+            training_rounds=4, batch_size=128, exploration=_EPS
+        ),
+        replay_buffer=BasicReplayBuffer(capacity=10_000),
+    )
+    res = online_learning(
+        agent, CartPole(), num_envs=16, max_steps=250_000,
+        learn_every_k_steps=2, learning_starts=500, seed=42,
+        target_return=500.0, target_window=20, mesh=make_mesh(2),
+    )
+    _assert_reached(res, 500.0)
+    spread = max(
+        float(np.max(np.abs(np.asarray(x) - np.asarray(x)[0])))
+        for x in jax.tree.leaves(res.agent_state.learner.params)
+    )
+    assert spread == 0.0, f"learner replicas diverged: {spread}"

@@ -86,3 +86,22 @@ def test_fence_opt_in_via_env(monkeypatch):
     assert not lf.use_layout_fence()  # opt-in until measured faster on chip
     monkeypatch.setenv("PEARL_TPU_LAYOUT_FENCE", "1")
     assert lf.use_layout_fence()
+
+
+def test_ring_slab_write_in_place_semantics():
+    import pearl_tpu.ops.ring_write as rw
+
+    B, T, F = 6, 4, 40
+    ring = jax.random.normal(jax.random.PRNGKey(4), (B, T, F), jnp.float32)
+    entry = jax.random.normal(jax.random.PRNGKey(5), (B, F), jnp.float32)
+    for c in range(T):
+        orig = rw.pl.pallas_call
+        rw.pl.pallas_call = functools.partial(orig, interpret=True)
+        try:
+            rw.ring_slab_write_tfb.clear_cache()
+            got = rw.ring_write(ring, entry, jnp.int32(c))
+        finally:
+            rw.pl.pallas_call = orig
+            rw.ring_slab_write_tfb.clear_cache()
+        want = ring.at[:, c, :].set(entry)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
