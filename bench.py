@@ -218,13 +218,15 @@ def main():
     _note(f"device={jax.devices()[0]} num_envs={num_envs}")
 
     # ---- 2. CNN-DQN at Atari-native 84x84x4 (visual pipeline) --------------
-    # Measured ladder (PARITY.md round-4): stacking summarizer + dedup ring
-    # 0.402M -> FrameRing O(1) circular window 0.630M -> + dedup_next
-    # (1 frame/row) 0.820M steps/s. The frame-ring path (one slab write per
-    # step, cursor-rotated conv kernel, validity masks instead of frame
-    # zeroing) is bit-equal to the stacking path (tests/test_frame_ring.py).
-    # BENCH_CNN_LEGACY=1 runs the stacking baseline; BENCH_CNN_NODEDUP=1
-    # keeps the 2-frame/row ring (exact truncation bootstrapping).
+    # Measured ladder (PARITY.md round-5, 20-call windows): stacking
+    # summarizer 0.402M -> FrameRing O(1) circular window + dedup_next
+    # 0.736M -> + in-place Pallas ring write + push fence 0.827M steps/s.
+    # dedup_next is EXACT since round 5 (truncated rows' final frames come
+    # from the frame_t side ring); the frame-ring path is bit-equal to the
+    # stacking path (tests/test_frame_ring.py). BENCH_CNN_LEGACY=1 runs the
+    # stacking baseline; BENCH_CNN_NODEDUP=1 keeps the 2-frame/row ring;
+    # PEARL_TPU_RING_WRITE=0 / PEARL_TPU_PUSH_FENCE=0 disable the kernels
+    # (each default chosen by on-chip A/B — PARITY.md round-5 ladder).
     if not skip_extras and _budget_left(budget):
         import jax.numpy as jnp
 
@@ -376,6 +378,42 @@ def main():
             episodes_total=curve_state["episodes"],
             curve_capacity=curve_cap,
         )
+
+        # Lossless-curves companion line: at 100M+ steps/s the device
+        # finishes millions of episodes per host drain, so the flagship
+        # config above is necessarily a SAMPLED stream (drops are counted
+        # in its JSON line). This config sizes the dispatch so every
+        # finished episode fits the ring (episodes/dispatch < R for ~10-step
+        # episodes) — the price of zero drops is dispatch-rate-bound
+        # throughput, measured honestly here.
+        ll_cpd = int(os.environ.get("BENCH_CURVE_LOSSLESS_CPD", 1))
+        spd_ll = num_envs * steps_per_learn * ll_cpd
+        _ol(
+            agent, CartPole(), num_envs=num_envs, max_steps=spd_ll * 4,
+            learn_every_k_steps=steps_per_learn, chunks_per_dispatch=ll_cpd,
+            seed=0, target_return=1e9, stats="curves", curve_capacity=curve_cap,
+        )
+        ll_state = {"dropped": 0, "episodes": 0}
+
+        def run_ll_group(g):
+            res_l = _ol(
+                agent, CartPole(), num_envs=num_envs, max_steps=spd_ll * 20,
+                learn_every_k_steps=steps_per_learn,
+                chunks_per_dispatch=ll_cpd, seed=101 + g, target_return=1e9,
+                stats="curves", curve_capacity=curve_cap,
+            )
+            ll_state["dropped"] += int(res_l.episodes_dropped)
+            ll_state["episodes"] += int(res_l.total_episodes)
+
+        sps_ll, smp_ll = _sample_until_stable(
+            run_ll_group, spd_ll * 20, "curves_lossless", budget
+        )
+        _emit(
+            "online_learning_curves_lossless_env_steps_per_s", sps_ll, smp_ll,
+            episodes_dropped=ll_state["dropped"],
+            episodes_total=ll_state["episodes"],
+            curve_capacity=curve_cap,
+        )
     else:
         _note("curves driver skipped (budget/flag)")
 
@@ -393,7 +431,10 @@ def main():
         seed=0, target_return=1e9, target_window=20, stats="summary",
     )
     _note(f"online_learning warmup {time.perf_counter()-t_warm:.1f}s")
-    online_calls = int(os.environ.get("BENCH_ONLINE_CALLS", 10))
+    # 30 dispatches per timed group: each group is a fresh online_learning
+    # call, and per-call setup/drain amortizes over the group (10-dispatch
+    # groups measured ~7% low vs the round-4 40-dispatch window).
+    online_calls = int(os.environ.get("BENCH_ONLINE_CALLS", 30))
 
     def run_driver_group(g):
         res = online_learning(

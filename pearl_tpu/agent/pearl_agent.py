@@ -243,7 +243,9 @@ class PearlAgent:
 
         frame_s = summ.newest_frame(astate.history_carry)
         frame_n = result.observation
+        frame_n_fb = None
         from pearl_tpu.ops.layout_fence import copy_fence, use_push_fence
+        from pearl_tpu.ops.ring_write import use_ring_write
 
         if use_push_fence() and jax.default_backend() == "tpu":
             # Layout-cycle breaker (bit-exact identity): without it the ring
@@ -251,6 +253,15 @@ class PearlAgent:
             # minor through this push even when the convs are fenced off the
             # carry (ops/layout_fence.py `copy_fence` docstring).
             frame_s = copy_fence(frame_s)
+        if (
+            use_ring_write()
+            and jax.default_backend() == "tpu"
+            and getattr(self.replay_buffer, "dedup_next", False)
+        ):
+            # Hand the post-step frame over in its natural (F, B) storage
+            # order; the side ring transposes it inside its rare cond branch
+            # (VisualReplayBuffer.push_frames docstring).
+            frame_n, frame_n_fb = None, result.observation.T
         carry_next = summ.advance(
             astate.history_carry, result.observation, next_obs, done
         )
@@ -273,7 +284,8 @@ class PearlAgent:
             cost=(result.cost if self.store_cost else None),
         )
         replay_state = self.replay_buffer.push_frames(
-            astate.replay, frame_s, frame_n, rest, k_push
+            astate.replay, frame_s, frame_n, rest, k_push,
+            frame_n_fb=frame_n_fb,
         )
 
         if astate.available_mask is not None:

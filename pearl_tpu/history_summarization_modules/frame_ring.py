@@ -145,22 +145,36 @@ class FrameRingHistorySummarization(HistorySummarizationModule):
         observe -> zero-window -> observe(reset) sequence, without touching
         the other T-1 slots."""
         c = carry.cursor
-        entry = jnp.where(done[:, None], reset_obs, obs)
-        from pearl_tpu.ops.ring_write import ring_write, use_ring_write
+        from pearl_tpu.ops.ring_write import use_ring_write
 
         if use_ring_write() and jax.default_backend() == "tpu":
-            # In-place Pallas slab write: XLA fuses the plain DUS below into
-            # a full-carry rewrite (0.37 ms/step at bench shape, not layout-
-            # fixable — ops/ring_write.py); the aliased kernel moves only
-            # the one-frame slab.
-            ring = ring_write(carry.ring, entry, c)
+            # In-place Pallas slab write: XLA fuses the plain DUS below
+            # into a full-carry rewrite (0.37 ms/step at bench shape, not
+            # layout-fixable — ops/ring_write.py); the aliased kernel moves
+            # only the one-frame slab. The entry is BUILT transposed
+            # (F, B) — observations are stored column-major, so the
+            # where-fusion is one aligned pass emitting exactly the
+            # kernel's operand layout. (Fusing the where INTO the kernel —
+            # ring_slab_write_where_tfb — measured 803k vs 825k
+            # env-steps/s at the bench shape: its block-serial DMA chain
+            # costs more than the fusion it saves. Kept for the record.)
+            from pearl_tpu.ops.ring_write import ring_slab_write_tfb  # noqa: PLC0415
+
+            entry_fb = jnp.where(
+                done[None, :], reset_obs.T, obs.T
+            ).astype(carry.ring.dtype)
+            ring_tfb = ring_slab_write_tfb(
+                jnp.transpose(carry.ring, (1, 2, 0)), entry_fb, c
+            )
+            ring = jnp.transpose(ring_tfb, (2, 0, 1))
         else:
+            entry = jnp.where(done[:, None], reset_obs, obs)
             ring = jax.lax.dynamic_update_slice_in_dim(
                 carry.ring, entry[:, None, :].astype(carry.ring.dtype), c, axis=1
             )
         valid = jnp.where(done[:, None], jnp.zeros_like(carry.valid), carry.valid)
         valid = jax.lax.dynamic_update_slice_in_dim(
-            valid, jnp.ones((entry.shape[0], 1), bool), c, axis=1
+            valid, jnp.ones((obs.shape[0], 1), bool), c, axis=1
         )
         return FrameRingView(
             ring=ring, valid=valid, cursor=(c + 1) % self.history_length

@@ -57,17 +57,13 @@ def use_layout_fence() -> bool:
 
 
 def use_push_fence() -> bool:
-    """Push-path copy_fence, gated separately (PEARL_TPU_PUSH_FENCE;
-    defaults to following PEARL_TPU_LAYOUT_FENCE): measured to flip the
-    replay frame rings row-major (push scatter 0.13 ms/step -> off the
-    profile) independently of the conv-input fences."""
-    return (
-        os.environ.get(
-            "PEARL_TPU_PUSH_FENCE",
-            os.environ.get("PEARL_TPU_LAYOUT_FENCE", "0"),
-        )
-        == "1"
-    )
+    """Push-path copy_fence, default ON by measurement: it flips the replay
+    frame rings row-major (push scatter 0.13 ms/step -> off the profile)
+    and with the in-place ring write takes the visual bench 791k -> 827k
+    env-steps/s (round-5 ladder). Gated separately from the conv-input
+    fences (which measured net-negative); PEARL_TPU_PUSH_FENCE=0 opts
+    out."""
+    return os.environ.get("PEARL_TPU_PUSH_FENCE", "1") == "1"
 
 
 def _fence4_kernel(x_ref, m_ref, o_ref, *, div):

@@ -15,26 +15,42 @@ quadruple HBM traffic (measured, docs/PARITY.md round-5). The (T, F, B)
 logical transpose of that layout is row-major, so this kernel takes the
 (T, H, W/s, s, B) free view and the bracketing transposes are bitcasts.
 
+MEASURED VERDICT (round 5, on chip): compiles, bit-correct, and
+**0.379-0.387M env-steps/s vs 0.827M for the tuned XLA path** — default
+OFF by data. The cost is MXU/VPU dispatch granularity: Mosaic's
+strictly-2-D-matmul rule forces ~3200 (OC, KK) x (KK, 128) dots per env
+step plus ~20k small strided vector loads for the im2col, and every
+rank-merging reshape that would batch them ((OW, CH) -> (OW*CH), rank-1
+results) is an "unsupported shape cast" (each measured). Matmul
+reformulations that avoid im2col (banded x-selection matrices) pay a
+W/k = 10.5x FLOP-redundancy tax instead. The kernel is kept: it is the
+only bit-correct in-repo record of HOW to express a strided conv within
+the Mosaic constraint map, and the XLA path's irreducible ~0.19 ms/step
+conv-input relayout is exactly what a future Mosaic with batched dots
+would recover (docs/PARITY.md round-5 ladder).
+
 Design, shaped by the measured Mosaic constraint map (round 4/5, see
 docs/PARITY.md and the memory notes in ops/layout_fence.py):
 
-- **x-stride via DMA phase-split, not strided vector slices** (Mosaic
-  forbids strides): the input stays in HBM (`memory_space=ANY`); for each
-  (batch-block, output-row) the kernel DMAs the k-row y-band as `s` phase
-  slabs — slicing the ring's pre-split s-axis — into a VMEM scratch
-  (s, T, k, W/s, bb) whose minor pair (W/s, bb) tiles with ~1.14x padding
-  (the round-4 design's 6-D VMEM block padded ~37x and could never fit).
+- **The input stays in HBM** (`memory_space=ANY`); for each (batch-block,
+  output-row) the kernel DMAs the k-row y-band in ONE copy that keeps the
+  pre-split s-axis whole — a DMA slice may not cut through the (s, lane)
+  memref tile ("slice shape must be aligned to tiling", measured) — into a
+  VMEM scratch (T, k, W/s, s, bb); x-phases are separated at vector-load
+  time with STATIC indices (dynamic sublane indices must be multiples of
+  8). The round-4 design's 6-D VMEM blocks lane-padded ~37x past the
+  ~16 MB/core budget and could never fit.
 - **y-stride via dynamic-start DMA slices** (band start = s*oy), which also
   handles the k > s halo that pallas's non-overlapping BlockSpecs cannot.
-- **Double-buffered DMA**: scratch and semaphores are (2, s); each grid
-  step issues the next band's DMAs before computing the current one.
+- **Double-buffered DMA**: scratch and semaphores are 2-slotted; each grid
+  step issues the next band's DMA before computing the current one.
 - **im2col in VMEM, fori-loop body**: a `fori_loop` over (t, ky) with the
-  s*k=8-way kx unroll inside keeps the MLIR ~32x smaller than the round-4
-  fully-unrolled body that OOM-killed the remote compiler; patch rows are
-  masked by the (T, B) validity mask as they are built (so invalid frames
-  read as zero, exactly the XLA path's semantics).
-- **Strictly 2-D matmuls** (Mosaic rule): per 128-lane batch chunk, one
-  (OC, KK) x (KK, OW*128) dot in f32 accumulation on the MXU.
+  k-way kx unroll inside keeps the MLIR ~32x smaller than the round-4
+  fully-unrolled body that OOM-killed the round-4 remote compiler; patch
+  rows are masked by the (T, B) validity mask as they are built (invalid
+  frames read as zero, exactly the XLA path's semantics).
+- **Strictly 2-D matmuls** (Mosaic rule): per 128-lane batch chunk and
+  output column, one (OC, KK) x (KK, 128) dot in f32 accumulation.
 
 Output is (OH, OC, OW, B) row-major — the caller transposes to NHWC for
 conv2, one small (13 MB at bench shape) XLA relayout.
@@ -92,25 +108,23 @@ def _kernel(
     g = i * OH + oy
 
     def start_band(slot, bi, row):
-        # One DMA per x-phase: (T, k, W/s, bb) each; innermost contiguous
-        # run is bb elements of the ring's native minor (batch) dim.
-        for r in range(s):
-            pltpu.make_async_copy(
-                ring5_ref.at[
-                    :, pl.ds(row * s, k), :, r, pl.ds(bi * bb, bb)
-                ],
-                scratch5.at[slot, r],
-                sems.at[slot, r],
-            ).start()
+        # ONE DMA per band, keeping the phase axis whole: slicing the
+        # phase dim is illegal (it sits inside the (s, lane) memref tile —
+        # "slice shape along dimension 3 must be aligned to tiling",
+        # measured); phases are separated at vector-load time instead.
+        pltpu.make_async_copy(
+            ring5_ref.at[:, pl.ds(row * s, k), :, :, pl.ds(bi * bb, bb)],
+            scratch5.at[slot],
+            sems.at[slot],
+        ).start()
 
     def wait_band(slot):
-        for r in range(s):
-            # Matching descriptor; waits the copy tracked by sems[slot, r].
-            pltpu.make_async_copy(
-                ring5_ref.at[:, pl.ds(0, k), :, r, pl.ds(0, bb)],
-                scratch5.at[slot, r],
-                sems.at[slot, r],
-            ).wait()
+        # Matching descriptor; waits the copy tracked by sems[slot].
+        pltpu.make_async_copy(
+            ring5_ref.at[:, pl.ds(0, k), :, :, pl.ds(0, bb)],
+            scratch5.at[slot],
+            sems.at[slot],
+        ).wait()
 
     @pl.when(g == 0)
     def _():
@@ -141,7 +155,7 @@ def _kernel(
             for kx in range(k):
                 q, r = divmod(kx, s)
                 sl = scratch5[
-                    slot, r, t, ky, pl.ds(q, OW), pl.ds(c0, CH)
+                    slot, t, ky, pl.ds(q, OW), r, pl.ds(c0, CH)
                 ]  # (OW, CH)
                 slm = sl.astype(jnp.float32) * mt  # broadcast (1,CH)->(OW,CH)
                 patches[j * k + kx] = slm.astype(patches.dtype)
@@ -149,7 +163,11 @@ def _kernel(
 
         jax.lax.fori_loop(0, T * k, build, 0)
 
-        def contract(ox, carry):
+        # Static per-column dots: a fori here would need a DYNAMIC sublane
+        # index into `patches`, which Mosaic only allows at multiples of 8
+        # ("cannot statically prove index is a multiple of 8", measured);
+        # static unaligned indices lower to sublane shifts and are fine.
+        for ox in range(OW):
             p = patches[:, ox, :]  # (KK, CH)
             y = jax.lax.dot_general(
                 w_ref[:], p,
@@ -158,9 +176,6 @@ def _kernel(
             )  # (OC, CH)
             y = jnp.maximum(y + b_ref[:], 0.0)
             out_ref[0, :, ox, pl.ds(c0, CH)] = y.astype(out_ref.dtype)
-            return carry
-
-        jax.lax.fori_loop(0, OW, contract, 0)
 
 
 @functools.partial(
@@ -194,7 +209,7 @@ def ring_conv1(ring, valid, wmat, bias, *, H, W, k, s, batch_block=512):
         kern,
         grid=(B // bb, OH),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # ring5 stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # ring5 stays in HBM
             pl.BlockSpec((T, 1, 1, bb), lambda i, oy: (0, 0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((KK, OC), lambda i, oy: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((OC, 1), lambda i, oy: (0, 0), memory_space=pltpu.VMEM),
@@ -204,9 +219,9 @@ def ring_conv1(ring, valid, wmat, bias, *, H, W, k, s, batch_block=512):
         ),
         out_shape=jax.ShapeDtypeStruct((OH, OC, OW, B), ring.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, s, T, k, W // s, bb), ring.dtype),
+            pltpu.VMEM((2, T, k, W // s, s, bb), ring.dtype),
             pltpu.VMEM((KK, OW, min(128, bb)), ring.dtype),
-            pltpu.SemaphoreType.DMA((2, s)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * OH * OW * OC * KK,

@@ -37,9 +37,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def use_ring_write() -> bool:
-    """Opt-in until measured faster on chip (PEARL_TPU_RING_WRITE=1); TPU
-    callers additionally gate on backend == "tpu"."""
-    return os.environ.get("PEARL_TPU_RING_WRITE", "0") == "1"
+    """Default ON, chosen by measurement: visual bench 736k -> 791k
+    env-steps/s standalone, 827k with the push fence (20-call windows,
+    round-5 ladder in docs/PARITY.md). PEARL_TPU_RING_WRITE=0 restores the
+    plain XLA DUS; TPU callers additionally gate on backend == "tpu"."""
+    return os.environ.get("PEARL_TPU_RING_WRITE", "1") == "1"
 
 
 def _kernel(cursor_ref, entry_ref, ring_ref, out_ref, sem):
@@ -49,6 +51,60 @@ def _kernel(cursor_ref, entry_ref, ring_ref, out_ref, sem):
     dma = pltpu.make_async_copy(entry_ref, out_ref.at[c], sem)
     dma.start()
     dma.wait()
+
+
+def _where_kernel(cursor_ref, done_ref, obs_ref, reset_ref, ring_ref,
+                  out_ref, scratch, sem):
+    # Fused auto-reset select + in-place slab write: done envs restart
+    # their window with the reset observation. Doing the where HERE keeps
+    # the observation in ONE materialized form — an XLA where-fusion ahead
+    # of the aliased call forced a second full-frame output per step
+    # (0.37 ms, round-5 profile).
+    del ring_ref
+    c = cursor_ref[0]
+    d = done_ref[:] > 0.5  # (1, B) f32 -> bool
+    scratch[:] = jnp.where(d, reset_ref[:], obs_ref[:]).astype(scratch.dtype)
+    f0 = pl.program_id(0) * scratch.shape[0]
+    dma = pltpu.make_async_copy(
+        scratch, out_ref.at[c, pl.ds(f0, scratch.shape[0]), :], sem
+    )
+    dma.start()
+    dma.wait()
+
+
+@jax.jit
+def ring_slab_write_where_tfb(ring_tfb, obs_fb, reset_fb, done, cursor):
+    """ring_tfb[cursor] <- where(done, reset_fb, obs_fb), in place.
+
+    obs_fb/reset_fb: (F, B) views of the step/reset observations (their
+    natural column-major storage — see module docstring); done: (B,) bool.
+    """
+    T, F, B = ring_tfb.shape
+    fb = next(r for r in (1008, 882, 504, 336, 144, 48, 16, 8, 4, 2, 1) if F % r == 0)
+    return pl.pallas_call(
+        _where_kernel,
+        grid=(F // fb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((T, F, B), ring_tfb.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((fb, B), ring_tfb.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        input_output_aliases={4: 0},
+    )(
+        jnp.reshape(cursor, (1,)).astype(jnp.int32),
+        done.reshape(1, B).astype(jnp.float32),
+        obs_fb,
+        reset_fb,
+        ring_tfb,
+    )
 
 
 @jax.jit

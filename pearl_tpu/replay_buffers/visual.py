@@ -164,11 +164,20 @@ class VisualReplayBuffer(BasicReplayBuffer):
         frame_n: Optional[jnp.ndarray],
         rest: TransitionBatch,
         key: Optional[PRNGKey] = None,
+        *,
+        frame_n_fb: Optional[jnp.ndarray] = None,
     ) -> VisualBufferState:
         """One vectorized env step as single frames: `frame_s` (B, F) is the
         acting observation (the state stack's newest frame), `frame_n` the
         post-step observation. `rest` carries every non-visual field
-        (state/next_state must be None)."""
+        (state/next_state must be None).
+
+        `frame_n_fb` is the (F, B) transposed alternative to `frame_n`
+        (dedup_next fast path): the side-ring write transposes it INSIDE its
+        lax.cond branch, so the (B, F) form of the observation is never
+        materialized on pushes without a truncation — observations are
+        stored column-major and keeping one form saves a full frame write
+        per step (round-5 profile, ops/ring_write.py)."""
         del key
         n = frame_s.shape[0]
         if n != self.num_envs:
@@ -200,9 +209,11 @@ class VisualReplayBuffer(BasicReplayBuffer):
             ),
         }
         if not self.dedup_next:
+            if frame_n is None:
+                frame_n = frame_n_fb.T
             storage["frame_n"] = write_rows(state.storage["frame_n"], frame_n)
         else:
-            if frame_n is None:
+            if frame_n is None and frame_n_fb is None:
                 raise ValueError(
                     "dedup_next requires the post-step frame at push time "
                     "(truncated rows' final frames go to the side ring)"
@@ -210,9 +221,8 @@ class VisualReplayBuffer(BasicReplayBuffer):
             trunc = rest.truncated
 
             def _write_side(buf):
-                slab = jnp.where(
-                    trunc[:, None], frame_n.astype(buf.dtype), 0
-                )
+                fn = frame_n if frame_n is not None else frame_n_fb.T
+                slab = jnp.where(trunc[:, None], fn.astype(buf.dtype), 0)
                 return jax.lax.dynamic_update_slice_in_dim(
                     buf, slab, start, axis=0
                 )

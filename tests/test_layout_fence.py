@@ -105,3 +105,31 @@ def test_ring_slab_write_in_place_semantics():
             rw.ring_slab_write_tfb.clear_cache()
         want = ring.at[:, c, :].set(entry)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_ring_slab_write_where_semantics():
+    import pearl_tpu.ops.ring_write as rw
+
+    B, T, F = 6, 3, 48
+    key = jax.random.PRNGKey(6)
+    k1, k2, k3 = jax.random.split(key, 3)
+    ring = jax.random.normal(k1, (B, T, F), jnp.float32)
+    obs = jax.random.normal(k2, (B, F), jnp.float32)
+    reset = jax.random.normal(k3, (B, F), jnp.float32)
+    done = jnp.array([True, False, True, False, False, True])
+    for c in range(T):
+        orig = rw.pl.pallas_call
+        rw.pl.pallas_call = functools.partial(orig, interpret=True)
+        try:
+            rw.ring_slab_write_where_tfb.clear_cache()
+            got_tfb = rw.ring_slab_write_where_tfb(
+                jnp.transpose(ring, (1, 2, 0)), obs.T, reset.T, done,
+                jnp.int32(c),
+            )
+        finally:
+            rw.pl.pallas_call = orig
+            rw.ring_slab_write_where_tfb.clear_cache()
+        got = jnp.transpose(got_tfb, (2, 0, 1))
+        entry = jnp.where(done[:, None], reset, obs)
+        want = ring.at[:, c, :].set(entry)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
