@@ -291,17 +291,22 @@ def main():
             ContinuousSoftActorCritic,
         )
 
+        # 131072 envs (round 5): CSAC scales with env count just like DQN —
+        # 166-252M @16k (with a reproducible fast/slow bimodality), 442M
+        # @32k, 582M @65k, 676M @131k steps/s on one v5e. Ring capacity
+        # keeps ~16 pushes resident like the 16k config did.
+        csac_envs = int(os.environ.get("BENCH_CSAC_NUM_ENVS", 131_072))
         csac = PearlAgent(
             policy_learner=ContinuousSoftActorCritic(
                 training_rounds=1, batch_size=1024
             ),
-            replay_buffer=BasicReplayBuffer(capacity=262_144),
+            replay_buffer=BasicReplayBuffer(capacity=16 * csac_envs),
         )
-        # 50 calls/window (round-2 protocol: dispatch latency dominates
+        # Multi-call windows (round-2 protocol: dispatch latency dominates
         # 0.1s windows), repeated until stderr < 5% — round 4's single
         # 0.42s window hid a 1.5x between-run spread on this metric.
         sps_csac, smp_csac = _measure_fused(
-            csac, Pendulum(), num_envs=16_384, steps_per_learn=8,
+            csac, Pendulum(), num_envs=csac_envs, steps_per_learn=8,
             learns_per_call=16, calls=50, label="csac", budget=budget,
         )
         _emit("csac_pendulum_env_steps_per_s", sps_csac, smp_csac)
@@ -315,7 +320,9 @@ def main():
         )
         from pearl_tpu.replay_buffers.on_policy import OnPolicyReplayBuffer
 
-        ppo_envs = 16_384
+        # 131072 envs (round 5): PPO is GAE/actor-update-bound, so env
+        # scaling is modest — 65.2M @16k -> 71.4M @131k steps/s — but real.
+        ppo_envs = int(os.environ.get("BENCH_PPO_NUM_ENVS", 131_072))
         rollout = 8
         ppo = PearlAgent(
             policy_learner=ProximalPolicyOptimization(
@@ -327,7 +334,7 @@ def main():
         )
         sps_ppo, smp_ppo = _measure_fused(
             ppo, CartPole(), num_envs=ppo_envs, steps_per_learn=rollout,
-            learns_per_call=16, calls=50, label="ppo", budget=budget,
+            learns_per_call=16, calls=10, label="ppo", budget=budget,
         )
         _emit("ppo_cartpole_env_steps_per_s", sps_ppo, smp_ppo)
     else:
