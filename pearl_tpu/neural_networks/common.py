@@ -114,6 +114,20 @@ class ResidualWrapper(nn.Module):
         return x + self.inner(x)
 
 
+def select_index_last(values: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
+    """values[i, index[i]] as a one-hot multiply-sum — bit-identical to the
+    minor-dim gather (x*1 + 0*y is exact in fp) but VECTORIZED: XLA:TPU
+    serializes `take_along_axis` on the minor axis row-by-row (~11 ns/row —
+    measured 11.3 ms for PPO's 1M-row frozen-prob selection, 78% of its
+    whole fused step; the one-hot form is ~free). This is also the
+    reference's own formulation (VanillaActorNetwork.get_action_prob's
+    one-hot bmm, actor_networks.py:108-177).
+
+    values: (N, A); index: (N,) int; returns (N,)."""
+    one_hot = jax.nn.one_hot(index, values.shape[-1], dtype=values.dtype)
+    return jnp.sum(values * one_hot, axis=-1)
+
+
 def normalized_softplus(x: jnp.ndarray) -> jnp.ndarray:
     """softplus(x) / log(2): equals 1 at x=0 (reference NormalizedSoftplus,
     common/utils.py:20-27)."""

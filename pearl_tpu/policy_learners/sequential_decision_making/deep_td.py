@@ -28,6 +28,8 @@ from typing import Any, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
+
+from pearl_tpu.neural_networks.common import select_index_last
 from flax import struct
 
 from pearl_tpu.api.types import PRNGKey
@@ -169,7 +171,10 @@ class DeepTDLearning(PolicyLearner):
             q_all = self.q_network.q_all(
                 trainable["q"], subj, candidates, batch.curr_available_mask
             )
-            q_sa = jnp.take_along_axis(q_all, batch.action_index[:, None], axis=-1)[:, 0]
+            # One-hot select (bit-identical): take_along_axis on the
+            # minor dim serializes row-wise on TPU (common.py
+            # select_index_last).
+            q_sa = select_index_last(q_all, batch.action_index)
             next_v = jax.lax.stop_gradient(
                 self._next_state_values(
                     trainable["q"], state.target_params, trainable["summ"], batch
@@ -257,7 +262,7 @@ class DoubleDQN(DeepTDLearning):
         q_target = self.q_network.q_all(
             target_params, next_subj, candidates, batch.next_available_mask
         )
-        return jnp.take_along_axis(q_target, best[:, None], axis=-1)[:, 0]
+        return select_index_last(q_target, best)
 
 
 @dataclasses.dataclass(frozen=True, kw_only=True, eq=False)
@@ -277,6 +282,4 @@ class DeepSARSA(DeepTDLearning):
         q_next = self.q_network.q_all(
             target_params, next_subj, candidates, batch.next_available_mask
         )
-        return jnp.take_along_axis(q_next, batch.next_action_index[:, None], axis=-1)[
-            :, 0
-        ]
+        return select_index_last(q_next, batch.next_action_index)

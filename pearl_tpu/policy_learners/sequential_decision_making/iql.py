@@ -100,11 +100,12 @@ class ImplicitQLearning(ActorCriticBase):
             probs = self.actor.get_policy_distribution(
                 actor_params, subj, candidates, batch.curr_available_mask
             )
+            from pearl_tpu.neural_networks.common import select_index_last
+
+            # One-hot select (bit-identical; minor-dim gathers serialize on TPU).
             logp = jnp.log(
                 jnp.clip(
-                    jnp.take_along_axis(
-                        probs, batch.action_index[:, None], axis=-1
-                    )[:, 0],
+                    select_index_last(probs, batch.action_index),
                     1e-8,
                     1.0,
                 )

@@ -123,15 +123,14 @@ class ProximalPolicyOptimization(ActorCriticBase):
         probs_old = self.actor.get_policy_distribution(
             state.actor_params, subj_flat, candidates, mask_flat
         )
+        from pearl_tpu.neural_networks.common import select_index_last
+
         action_index_flat = traj.action_index.reshape(T * B)
+        # One-hot select, NOT take_along_axis: the minor-dim gather
+        # serializes on TPU (11.3 ms for these T*B rows — 78% of the whole
+        # fused PPO step, round-5 profile; select_index_last docstring).
         logp_old = jnp.log(
-            jnp.clip(
-                jnp.take_along_axis(probs_old, action_index_flat[:, None], axis=-1)[
-                    :, 0
-                ],
-                1e-8,
-                1.0,
-            )
+            jnp.clip(select_index_last(probs_old, action_index_flat), 1e-8, 1.0)
         )
         data = {
             "stored": traj.state.reshape(T * B, -1),
@@ -165,13 +164,11 @@ class ProximalPolicyOptimization(ActorCriticBase):
             probs = self.actor.get_policy_distribution(
                 actor_params, subj, candidates, mb["mask"]
             )
+            from pearl_tpu.neural_networks.common import select_index_last
+
             logp = jnp.log(
                 jnp.clip(
-                    jnp.take_along_axis(probs, mb["action_index"][:, None], axis=-1)[
-                        :, 0
-                    ],
-                    1e-8,
-                    1.0,
+                    select_index_last(probs, mb["action_index"]), 1e-8, 1.0
                 )
             )
             ratio = jnp.exp(logp - mb["logp_old"])

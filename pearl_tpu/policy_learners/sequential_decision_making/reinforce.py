@@ -100,13 +100,14 @@ class REINFORCE(ActorCriticBase):
             probs = self.actor.get_policy_distribution(
                 actor_params, subj_g, candidates, mask_flat
             )
+            from pearl_tpu.neural_networks.common import select_index_last
+
+            # One-hot select — take_along_axis on the minor dim serializes
+            # on TPU (see select_index_last; measured on PPO's twin of this
+            # full-trajectory selection).
             logp = jnp.log(
                 jnp.clip(
-                    jnp.take_along_axis(
-                        probs, action_index_flat[:, None], axis=-1
-                    )[:, 0],
-                    1e-8,
-                    1.0,
+                    select_index_last(probs, action_index_flat), 1e-8, 1.0
                 )
             )
             baseline = jax.lax.stop_gradient(

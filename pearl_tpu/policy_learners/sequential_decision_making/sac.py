@@ -126,9 +126,11 @@ class SoftActorCritic(ActorCriticBase):
             batch.reward + self.discount_factor * not_done * soft_v
         )
         q1_all, q2_all = twin_q_all(self.critic_network, critic_params, subj, candidates)
-        idx = batch.action_index[:, None]
-        q1 = jnp.take_along_axis(q1_all, idx, axis=-1)[:, 0]
-        q2 = jnp.take_along_axis(q2_all, idx, axis=-1)[:, 0]
+        from pearl_tpu.neural_networks.common import select_index_last
+
+        # One-hot selects (bit-identical; minor-dim gathers serialize on TPU).
+        q1 = select_index_last(q1_all, batch.action_index)
+        q2 = select_index_last(q2_all, batch.action_index)
         return (jnp.mean((q1 - y) ** 2) + jnp.mean((q2 - y) ** 2)) / 2.0
 
     def post_update(self, state: ActorCriticState, batch):
