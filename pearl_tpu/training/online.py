@@ -156,26 +156,54 @@ def _make_chunk_fn(
             out = None
         elif curves:
             ring, count_mod, count_u32 = aux[3], aux[4], aux[5]
-            # Scatter this step's finished episodes into the (R, 3) ring in
+            # Record this step's finished episodes into the (3, R) ring in
             # env order (matching full mode's step-major-then-env drain
-            # order). Non-done envs target index R -> dropped by
-            # mode="drop". ONE packed scatter per step: XLA:TPU serializes
-            # scatters row-by-row, so packing (return, cost, risky) into one
-            # 3-wide row costs a third of three separate scatters (measured
-            # 58M -> ~100M+ steps/s at 131k envs). Collisions within a step
-            # only occur when > R envs finish simultaneously (num_envs >
-            # curve_capacity), where the colliding entries are dropped
-            # episodes either way.
-            # Ring index from a mod-R counter; the lifetime total is a
+            # order). Ring index from a mod-R counter; the lifetime total is a
             # separate uint32 that wraps cleanly (the host accumulates exact
             # deltas modulo 2^32, so multi-hour runs past 2^31 episodes
             # cannot corrupt drain arithmetic).
             ranks = jnp.cumsum(done.astype(jnp.int32))
-            idx = jnp.where(done, (count_mod + ranks - 1) % R, R)
-            vals = jnp.stack([ep_ret, ep_cost, risky_ratio], axis=-1)
-            ring = ring.at[idx].set(vals, mode="drop")
-            count_mod = (count_mod + ranks[-1]) % R
-            count_u32 = count_u32 + ranks[-1].astype(jnp.uint32)
+            K = ranks[-1]
+            B = done.shape[0]
+            if R >= B:
+                # SCATTER-FREE write (round 5): in the full fused step
+                # program, XLA:TPU executed the packed row-scatter at
+                # 0.83 ms/step — 65% of curves mode — resisting both fusion
+                # barriers and layout changes (the same scatter
+                # microbenchmarks at 0.01-0.04 ms standalone). Instead:
+                # sort-compact the finished episodes to the front (stable:
+                # key = finish rank, unique), pad to R, roll so compacted
+                # row j lands at slot (count_mod + j) % R, and where-merge
+                # into the ring — all dense vector ops (~0.1 ms at 131k
+                # envs, the sort dominating). Exactly the scatter's
+                # semantics whenever every finisher has a slot
+                # (R >= envs_per_dev, the self-consistent config); the
+                # scatter path below remains for R < B, where colliding
+                # entries are dropped episodes either way (and the driver
+                # warns).
+                big = jnp.int32(R + B)
+                keys = jnp.where(done, ranks - 1, big)
+                sk, s_ret, s_cost, s_risky = jax.lax.sort(
+                    (keys, ep_ret, ep_cost, risky_ratio), num_keys=1
+                )
+                pad = R - B
+                if pad:
+                    z = jnp.zeros((pad,))
+                    s_ret = jnp.concatenate([s_ret, z])
+                    s_cost = jnp.concatenate([s_cost, z])
+                    s_risky = jnp.concatenate([s_risky, z])
+                new_rows = jnp.stack([s_ret, s_cost, s_risky])  # (3, R)
+                new_rows = jnp.roll(new_rows, count_mod, axis=1)
+                slot_j = (jnp.arange(R, dtype=jnp.int32) - count_mod) % R
+                ring = jnp.where(slot_j[None, :] < K, new_rows, ring)
+            else:
+                idx = jnp.where(done, (count_mod + ranks - 1) % R, R)
+                vals = jnp.stack([ep_ret, ep_cost, risky_ratio], axis=-1)
+                ring = jnp.transpose(
+                    jnp.transpose(ring).at[idx].set(vals, mode="drop")
+                )
+            count_mod = (count_mod + K) % R
+            count_u32 = count_u32 + K.astype(jnp.uint32)
             out = None
         else:
             out = (done, ep_ret, ep_cost, risky_ratio)
@@ -240,7 +268,10 @@ def _make_chunk_fn(
         )
         if curves:
             # Per-chunk cumulative counts + the (carry-resident) ring once
-            # per dispatch — the ring is NOT stacked per chunk.
+            # per dispatch — the ring is NOT stacked per chunk. The ring is
+            # stat-major (3, R) end to end (pad-free layout; see the
+            # env_step comment); the host drain un-transposes with a free
+            # numpy view.
             stats = (stats, ep_aux[3])
         elif not summary:
             # (C, 4, steps, B) -> (4, C*steps, B): chunk-order-preserving.
@@ -613,8 +644,11 @@ def online_learning(
         )
     elif curves:
         ep_aux = ep_aux + (
-            # (R, 3) finished-episode ring: [return, cost, risky-ratio]
-            jnp.zeros((curve_capacity, 3)),
+            # (3, R) finished-episode ring: [return, cost, risky-ratio] rows.
+            # Stat-major: R on the minor axis keeps the ring's TPU layout
+            # pad-free (an (R, 3) ring lane-pads 3 -> 128, 42x; round-5
+            # profile) and the host drain un-transposes for free.
+            jnp.zeros((3, curve_capacity)),
             jnp.zeros((), jnp.int32),  # ring write index (mod R)
             jnp.zeros((), jnp.uint32),  # lifetime finished count (wraps)
         )
@@ -637,10 +671,13 @@ def online_learning(
 
     def _drain_ring(counts, ring, dev):
         """Pull the episodes finished since the last drain out of one
-        device's (R, 3) ring (finish order preserved; oldest beyond the ring
-        capacity are lost and tallied). The device counter is uint32 and may
-        wrap; the host reconstructs the exact total from deltas mod 2^32."""
+        device's ring, received TRANSPOSED as (3, R) (see the run_chunk
+        comment; un-transposing here is a free numpy view). Finish order
+        preserved; oldest beyond the ring capacity are lost and tallied.
+        The device counter is uint32 and may wrap; the host reconstructs
+        the exact total from deltas mod 2^32."""
         nonlocal dropped
+        ring = ring.T
         R = ring.shape[0]
         raw = int(counts[-1]) & 0xFFFFFFFF
         cum[dev] += (raw - raw_prev[dev]) & 0xFFFFFFFF
