@@ -45,11 +45,14 @@ def build(variant):
         obs_dtype = None
     else:
         summ = FrameRingHistorySummarization(history_length=4, dtype=jnp.bfloat16)
-        dedup = variant == "ring_dedup"
+        dedup = variant in ("ring_dedup", "ring_cache")
         obs_dtype = jnp.bfloat16
     agent = PearlAgent(
         policy_learner=DeepQLearning(
-            q_network=CNNQValueNetwork(input_shape=(84, 84, 4), time_major_stack=True),
+            q_network=CNNQValueNetwork(
+                input_shape=(84, 84, 4), time_major_stack=True,
+                conv1_cache=(variant == "ring_cache"),
+            ),
             training_rounds=1,
             batch_size=512,
             act_dtype="bfloat16",

@@ -108,6 +108,17 @@ class PearlAgent:
             )
         return True
 
+    @property
+    def _cache_net(self):
+        """The ring-aware CNN when the conv1-cache act path is enabled
+        (q_value_networks.CNNQValueNetwork.conv1_cache + ops/conv_cache.py),
+        else None. The agent owns the cache lifecycle: seed at init, one
+        slab write per observe, full refresh after every weight update."""
+        if not self._frame_path:
+            return None
+        net = self.policy_learner.q_network
+        return net if getattr(net, "cache_enabled", False) else None
+
     # ------------------------------------------------------------------ setup
     def for_env(self, env) -> "PearlAgent":
         """Bind the learner to the env's action space (must be called before
@@ -140,6 +151,11 @@ class PearlAgent:
 
         carry = self._summ.init_carry(num_envs, observation_dim, rep_dim)
         carry = self._summ.observe(carry, initial_obs, None)
+        net = self._cache_net
+        if net is not None:
+            carry = carry.replace(
+                cache=net.refresh_cache(learner_state.params, carry)
+            )
 
         stored_dim = self._summ.stored_dim(observation_dim, rep_dim)
         action_dim = space.action_dim
@@ -265,6 +281,24 @@ class PearlAgent:
         carry_next = summ.advance(
             astate.history_carry, result.observation, next_obs, done
         )
+        net = self._cache_net
+        if net is not None:
+            from pearl_tpu.ops.conv_cache import cache_write
+
+            ring_dt = astate.history_carry.ring.dtype
+            # Same select as the ring entry inside advance() (CSE'd by XLA):
+            # done envs restart with the reset observation.
+            entry_fb = jnp.where(
+                done[None, :], next_obs.T, result.observation.T
+            ).astype(ring_dt)
+            y = net.cache_contrib_y(astate.learner.params, entry_fb)
+            T, _, _, _, _, _, _, OC = net._conv1_dims()
+            carry_next = carry_next.replace(
+                cache=cache_write(
+                    astate.history_carry.cache, y,
+                    astate.history_carry.cursor, T=T, OC=OC,
+                )
+            )
         rest = TransitionBatch(
             state=None,
             action=astate.last_action.action,
@@ -403,10 +437,21 @@ class PearlAgent:
             metrics = {**metrics, **s_metrics}
         if self.policy_learner.on_policy:
             replay_state = self.replay_buffer.clear(replay_state)
-        return (
-            astate.replace(learner=learner_state, safety=safety_state, replay=replay_state),
-            metrics,
+        astate = astate.replace(
+            learner=learner_state, safety=safety_state, replay=replay_state
         )
+        net = self._cache_net
+        if net is not None:
+            # conv1 weights just moved: recompute every cached contribution
+            # so the act path stays exact (ops/conv_cache.py docstring).
+            astate = astate.replace(
+                history_carry=astate.history_carry.replace(
+                    cache=net.refresh_cache(
+                        learner_state.params, astate.history_carry
+                    )
+                )
+            )
+        return (astate, metrics)
 
     def learn_batch(self, astate: AgentState, batch: TransitionBatch):
         """Offline path (reference pearl_agent.py:224-233): safety batch

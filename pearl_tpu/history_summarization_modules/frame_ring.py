@@ -69,6 +69,10 @@ class FrameRingView:
     # carry (no-grad: eligible for the Pallas ring-conv fast path,
     # ops/ring_conv.py).
     from_replay: bool = struct.field(pytree_node=False, default=False)
+    # Optional incremental-conv1 contribution cache (B, T, D), maintained by
+    # PearlAgent when the paired CNN enables conv1_cache (ops/conv_cache.py).
+    # None when the direct window conv is in use.
+    cache: Optional[jnp.ndarray] = None
 
     @property
     def shape(self):

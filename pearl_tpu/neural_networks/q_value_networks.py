@@ -360,6 +360,14 @@ class CNNQValueNetwork:
     # 4 feature channels with stack 4 -> input_shape (10, 10, 16)).
     time_major_stack: bool = False
     frame_channels: int = 1
+    # conv1_cache: incremental-conv1 act path (ops/conv_cache.py) — caches
+    # each resident frame's conv1 contribution under all T position-kernels
+    # so NO conv ever reads the frame-ring loop carry (the round-4/5 XLA
+    # layout cliff, docs/xla_layout_repro.py). Exact up to f32 summation
+    # grouping; requires time_major_stack, frame_channels == 1 and
+    # paddings[0] == 0, and a PearlAgent (which maintains/refreshes the
+    # cache around observes and weight updates).
+    conv1_cache: bool = False
 
     @property
     def supports_frame_ring(self) -> bool:
@@ -403,6 +411,134 @@ class CNNQValueNetwork:
             imgs = state.reshape((state.shape[0],) + tuple(self.input_shape))
         return m.apply({"params": params}, imgs)
 
+    # ------------------------------------------------ conv1-cache act path
+    def _conv1_dims(self):
+        H, W, C = self.input_shape
+        T = C // self.frame_channels
+        k, s, p = self.kernel_sizes[0], self.strides[0], self.paddings[0]
+        OH = (H + 2 * p - k) // s + 1
+        OW = (W + 2 * p - k) // s + 1
+        return T, H, W, k, s, OH, OW, self.out_channels[0]
+
+    @property
+    def cache_enabled(self) -> bool:
+        from pearl_tpu.ops.conv_cache import use_conv1_cache
+
+        if not (self.conv1_cache and self.time_major_stack):
+            return False
+        if self.frame_channels != 1 or self.paddings[0] != 0:
+            raise ValueError(
+                "conv1_cache requires frame_channels == 1 and paddings[0] == 0"
+            )
+        return use_conv1_cache()
+
+    def cache_dim(self) -> int:
+        T, _, _, _, _, OH, OW, OC = self._conv1_dims()
+        return T * OH * OW * OC
+
+    def _k64(self, params, dtype):
+        """conv1 kernel as (k, k, 1, T*OC) position-major single-input-channel
+        form, with the /255 input normalization folded in (conv(x/255, W) ==
+        conv(x, W/255))."""
+        T, _, _, k, _, _, _, OC = self._conv1_dims()
+        k0 = params["conv"]["conv_0"]["kernel"].astype(dtype) / 255.0
+        return k0.reshape(k, k, 1, T * OC)
+
+    def cache_contrib_y(self, params, entry_fb):
+        """New-frame contrib conv output (B, OH, OW, T*OC) from the (F, B)
+        ring entry.
+
+        The barrier pins the entry as a MATERIALIZED (F, B) buffer — the
+        same buffer the in-place ring write consumes (CSE), so it is free.
+        Without it XLA fuses the observation producer (env generator + reset
+        select) into the conv's input and re-evaluates it per conv tap
+        (4.8 ms/step measured); with the barrier on the 4-D conv-input form
+        instead, the producer materializes into the conv's padded
+        batch-minor layout at 2.9 ms/step. Barrier on the natural 2-D form,
+        and the conv consumes it through an HWNC dimension spec — the (F, B)
+        bytes ARE the conv input, no second logical form exists in the
+        graph (measured identical to NHWC standalone)."""
+        _, H, W, _, _, _, _, _ = self._conv1_dims()
+        B = entry_fb.shape[1]
+        frames = jax.lax.optimization_barrier(entry_fb).reshape(H, W, B, 1)
+        return self._contrib_conv(params, frames)
+
+    def _contrib_conv(self, params, frames_hwb1):
+        """(H, W, N, 1) HWNC frames -> (N, OH, OW, T*OC) all-position conv1
+        contributions (pre-bias, pre-relu), channel index = p*OC + oc."""
+        _, _, _, _, s, _, _, _ = self._conv1_dims()
+        k64 = self._k64(params, frames_hwb1.dtype)
+        return jax.lax.conv_general_dilated(
+            frames_hwb1, k64, window_strides=(s, s), padding=[(0, 0), (0, 0)],
+            dimension_numbers=("HWNC", "HWIO", "NHWC"),
+        )
+
+    def refresh_cache(self, params, view):
+        """Recompute the whole (T, P, D, B) diagonal cache from the ring —
+        called by the agent after every conv1 weight update so cached
+        contributions always use current weights. Per ring slot: one
+        single-frame conv (the slot read goes through copy_fence on TPU so
+        this per-learn conv cannot re-pin the carry's layout), then a static
+        diagonal assembly (ops/conv_cache.py)."""
+        from pearl_tpu.ops.conv_cache import cache_write
+
+        T, H, W, _, _, _, _, OC = self._conv1_dims()
+        D = self.cache_dim() // T
+        ring = view.ring
+        B = ring.shape[0]
+        cache = view.cache
+        if cache is None:
+            cache = jnp.zeros((T, T, D, B), ring.dtype)
+        # Per slot: one single-frame conv, then the SAME diagonal write the
+        # per-step path uses (cursor == s reproduces slot s's diagonal rows
+        # j = (s - p) % T). The Pallas DMAs read the conv output's strided
+        # channel chunks natively — an XLA transpose/stack assembly here
+        # measured 1.5-3.6 ms per refresh (copy.264, round-5 profiles).
+        for s in range(T):
+            rows_fb = jnp.transpose(ring[:, s, :], (1, 0))
+            if jax.default_backend() == "tpu":
+                from pearl_tpu.ops.layout_fence import copy_fence
+
+                rows_fb = copy_fence(rows_fb)
+            y = self._contrib_conv(params, rows_fb.reshape(H, W, B, 1))
+            cache = cache_write(cache, y, jnp.int32(s), T=T, OC=OC)
+        return cache
+
+    def _q_all_cached(self, params, view, num_actions):
+        """Act-path Q from the contribution cache: conv1(window) as a
+        one-slice masked sum over the diagonal cache (ops/conv_cache.py
+        module docstring), then the standard conv/MLP tail on the FRESH sum
+        (no carry reads anywhere)."""
+        from pearl_tpu.neural_networks.common import resolve_activation
+        from pearl_tpu.ops.conv_cache import gather_sum
+
+        _, _, _, _, _, OH, OW, OC = self._conv1_dims()
+        B = view.ring.shape[0]
+        act = resolve_activation("relu")
+        acc = gather_sum(view.cache, view.valid, view.cursor)  # (D, B) f32
+        b0 = params["conv"]["conv_0"]["bias"].astype(jnp.float32)
+        y = act(acc.reshape(OH, OW, OC, B) + b0[None, None, :, None])
+        y = jnp.transpose(y, (3, 0, 1, 2)).astype(view.ring.dtype)
+        return self._conv_tail(params, y, B, num_actions)
+
+    def _conv_tail(self, params, y, B, num_actions):
+        from pearl_tpu.neural_networks.common import resolve_activation
+
+        act = resolve_activation("relu")
+        for i in range(1, len(self.out_channels)):
+            ki = params["conv"][f"conv_{i}"]["kernel"].astype(y.dtype)
+            bi = params["conv"][f"conv_{i}"]["bias"].astype(y.dtype)
+            si, pi = self.strides[i], self.paddings[i]
+            y = jax.lax.conv_general_dilated(
+                y, ki, window_strides=(si, si), padding=[(pi, pi), (pi, pi)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = act(y + bi)
+        feat = y.reshape(B, -1)
+        return MLP(
+            hidden_dims=tuple(self.hidden_dims), output_dim=num_actions
+        ).apply({"params": params["MLP_0"]}, feat)
+
     def _q_all_ring(self, params, view, num_actions):
         """Consume a `FrameRingView` (circular frame window) WITHOUT
         materializing the time-ordered stack: the first conv's input channels
@@ -418,6 +554,12 @@ class CNNQValueNetwork:
                 "FrameRingView input requires time_major_stack=True (the ring "
                 "axis is the frame-stack axis)"
             )
+        if (
+            getattr(view, "cache", None) is not None
+            and not getattr(view, "from_replay", False)
+            and self.cache_enabled
+        ):
+            return self._q_all_cached(params, view, num_actions)
         from pearl_tpu.neural_networks.common import resolve_activation
 
         H, W, C = self.input_shape
@@ -503,16 +645,4 @@ class CNNQValueNetwork:
                 dimension_numbers=dn,
             )
             y = act(y + b0)
-        for i in range(1, len(self.out_channels)):
-            ki = params["conv"][f"conv_{i}"]["kernel"].astype(y.dtype)
-            bi = params["conv"][f"conv_{i}"]["bias"].astype(y.dtype)
-            si, pi = self.strides[i], self.paddings[i]
-            y = jax.lax.conv_general_dilated(
-                y, ki, window_strides=(si, si), padding=[(pi, pi), (pi, pi)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            y = act(y + bi)
-        feat = y.reshape(B, -1)
-        return MLP(
-            hidden_dims=tuple(self.hidden_dims), output_dim=num_actions
-        ).apply({"params": params["MLP_0"]}, feat)
+        return self._conv_tail(params, y, B, num_actions)
